@@ -1,0 +1,165 @@
+"""Benchmark: end-to-end training-step throughput (points/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "points/sec", "vs_baseline": N}
+
+- value: points/sec of the jitted PointNetSeg train step (forward + loss +
+  backward + Adam) on the available accelerator, batch 64 x 2048 points —
+  the reference's hot loop (pcs.py:236-255) at its default batch size.
+- vs_baseline: ratio against the PyTorch reference implementation running
+  the same step on CPU (the reference's own fallback device, pcs.py:15) —
+  measured live when torch is importable, else against a recorded CPU
+  number (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH, POINTS, DIM, CLASSES = 64, 2048, 4, 4
+WARMUP, ITERS = 3, 20
+# Recorded torch-CPU baseline (points/sec) for this exact step/shape, used
+# if live torch measurement is unavailable. See BASELINE.md.
+RECORDED_CPU_BASELINE = None
+
+
+def make_batch(rng):
+    points = rng.normal(size=(BATCH, POINTS, DIM)).astype(np.float32)
+    labels = rng.integers(0, CLASSES, size=(BATCH, POINTS)).astype(np.int64)
+    # ~25% padding, like ragged events padded to a bucket
+    masks = np.ones((BATCH, POINTS), bool)
+    masks[:, int(POINTS * 0.75):] = False
+    labels[~masks] = -1
+    points[~masks] = 0.0
+    return points, labels, masks
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pcseg_tpu.models.pointnet import PointNetSeg
+    from pcseg_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state, make_train_step
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(MeshSpec(data=n_dev))
+    model = PointNetSeg(num_classes=CLASSES, compute_dtype="bfloat16")
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    train_step = make_train_step(
+        model, tx, mesh,
+        class_weights=jnp.ones((CLASSES,), jnp.float32), donate=True,
+    )
+
+    rng = np.random.default_rng(0)
+    points, labels, masks = make_batch(rng)
+    batch = shard_batch(
+        mesh, (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
+    )
+    lr = jnp.float32(1e-3)
+
+    for i in range(WARMUP):
+        state, metrics = train_step(state, batch, lr, jax.random.key(i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = train_step(state, batch, lr, jax.random.key(i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    # per chip: total throughput / chips (single-chip here; DP scales batch)
+    return BATCH * POINTS * ITERS / dt / n_dev
+
+
+def bench_torch_cpu_reference() -> float | None:
+    """The reference's architecture + step, PyTorch on CPU (pcs.py hot loop).
+
+    Built from the SURVEY.md §2.2 spec — independent harness code, not a
+    copy of the reference file.
+    """
+    try:
+        import torch
+        import torch.nn as nn
+    except Exception:
+        return None
+    torch.manual_seed(0)
+
+    class RefNet(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            dims = [(DIM, 64), (64, 64), (64, 64), (64, 128), (128, 1024)]
+            self.enc = nn.ModuleList(
+                [nn.Conv1d(i, o, 1) for i, o in dims]
+            )
+            self.enc_bn = nn.ModuleList([nn.BatchNorm1d(o) for _, o in dims])
+            self.glob = nn.Conv1d(1024, 1024, 1)
+            self.glob_bn = nn.BatchNorm1d(1024)
+            hdims = [(1088, 512), (512, 256), (256, 128)]
+            self.head = nn.ModuleList([nn.Conv1d(i, o, 1) for i, o in hdims])
+            self.head_bn = nn.ModuleList([nn.BatchNorm1d(o) for _, o in hdims])
+            self.out = nn.Conv1d(128, c, 1)
+            self.drop = nn.Dropout(0.3)
+
+        def forward(self, x):
+            x = x.transpose(1, 2)
+            skip = None
+            for i, (conv, bn) in enumerate(zip(self.enc, self.enc_bn)):
+                x = torch.relu(bn(conv(x)))
+                if i == 1:
+                    skip = x
+            g = torch.relu(self.glob_bn(self.glob(x)))
+            g = torch.max(g, 2, keepdim=True)[0].repeat(1, 1, x.shape[2])
+            x = torch.cat([skip, g], dim=1)
+            for i, (conv, bn) in enumerate(zip(self.head, self.head_bn)):
+                x = torch.relu(bn(conv(x)))
+                if i < 2:
+                    x = self.drop(x)
+            return self.out(x).transpose(1, 2)
+
+    model = RefNet(CLASSES)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-4)
+    crit = nn.CrossEntropyLoss(ignore_index=-1)
+    rng = np.random.default_rng(0)
+    points, labels, _ = make_batch(rng)
+    pts = torch.tensor(points)
+    labs = torch.tensor(labels)
+
+    def step():
+        opt.zero_grad()
+        out = model(pts)
+        loss = crit(out.reshape(-1, CLASSES), labs.reshape(-1))
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return BATCH * POINTS * iters / dt
+
+
+def main():
+    value = bench_jax()
+    baseline = bench_torch_cpu_reference() or RECORDED_CPU_BASELINE
+    vs = value / baseline if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "pointnet_train_step_points_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "points/sec",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Config system.
+
+The reference hardcodes every knob as a literal inside
+``point_cloud_segmentation.py`` (data paths :137-138, batch size 64 :197,
+workers 32 :199, lr/wd :217, StepLR(20, 0.5) :218, epochs 128 :221,
+patience 16 :224, dropout 0.3 :96, class-2 weight boost x2 :175-176,
+checkpoint name :382). Here those literals become documented defaults of
+dataclass configs with CLI overrides (``--section.field=value``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass
+class DataConfig:
+    # HDF5 event files: datasets 'data' (flat float arrays reshaped (N,4))
+    # and 'labels' (int (N,)) — reference pcs.py:33-35.
+    data_path: str = "data/train_xyze_1e4.h5"
+    label_path: str = "data/train_label_1e4.h5"
+    batch_size: int = 64          # pcs.py:197
+    val_fraction: float = 0.2     # pcs.py:192 (80/20 split)
+    split_seed: int = 0           # reference split is unseeded (pcs.py:194); we seed
+    shuffle_seed: int = 0
+    class_scan_events: int = 1000  # pcs.py:149
+    # Ragged->static batching: pad the per-batch max point count up to one of
+    # these bucket lengths so XLA compiles a handful of static shapes
+    # (replaces the reference's fully dynamic per-batch max, pcs.py:50).
+    buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192)
+    num_workers: int = 0          # host-side prefetch threads (0 = inline)
+    prefetch_depth: int = 2       # batches resident on device ahead of compute
+
+
+@dataclass
+class ModelConfig:
+    name: str = "pointnet_seg"    # or "voxel_unet3d"
+    num_classes: int = 0          # 0 = infer from data (pcs.py:153)
+    input_dim: int = 4            # x, y, z, e — pcs.py:66
+    dropout: float = 0.3          # pcs.py:96
+    # Compute dtype for matmuls ("bfloat16" for MXU speed, "float32" for
+    # bit-parity testing). Params/BN stats always live in float32.
+    compute_dtype: str = "float32"
+    # If True, exclude padded positions from BN statistics and the global
+    # max pool. The reference INCLUDES padding in both (pcs.py:106-127,
+    # :114); default False reproduces that behavior.
+    mask_norm_and_pool: bool = False
+    # VoxelUNet3d options
+    grid_size: int = 64
+    unet_width: int = 16
+
+
+@dataclass
+class OptimConfig:
+    lr: float = 1e-3              # pcs.py:217
+    weight_decay: float = 1e-4    # pcs.py:217 — Adam L2 (coupled), NOT AdamW
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    lr_step_epochs: int = 20      # StepLR step_size — pcs.py:218
+    lr_gamma: float = 0.5         # StepLR gamma — pcs.py:218
+
+
+@dataclass
+class TrainConfig:
+    num_epochs: int = 128         # pcs.py:221
+    patience: int = 16            # pcs.py:224
+    target_class: int = 2         # best-model selection on class-2 F1 (pcs.py:346)
+    target_class_weight_boost: float = 2.0  # pcs.py:175-176
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_name: str = "best_model"   # pcs.py:382 ('best_model.pth')
+    log_every_steps: int = 10
+    # Parallelism: number of devices on the mesh 'data' axis (0 = all).
+    data_parallel: int = 0
+    # Per-replica BN running stats (DataParallel semantics, pcs.py:211) vs
+    # cross-replica synced BN batch statistics.
+    sync_batchnorm: bool = False
+    debug_nans: bool = False
+    profile_dir: str = ""         # non-empty => jax.profiler traces
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        d = self.to_dict()
+        d["data"]["buckets"] = list(d["data"]["buckets"])
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        cfg = cls()
+        for section, values in d.items():
+            sub = getattr(cfg, section)
+            for k, v in values.items():
+                if not hasattr(sub, k):
+                    raise KeyError(f"unknown config field {section}.{k}")
+                setattr(sub, k, v)
+        return cfg
+
+
+def _coerce(current: Any, raw: str) -> Any:
+    if isinstance(current, bool):
+        if raw.lower() in ("1", "true", "yes", "on"):
+            return True
+        if raw.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"cannot parse bool from {raw!r}")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, (tuple, list)):
+        return tuple(int(x) for x in raw.split(",") if x)
+    return raw
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``section.field=value`` CLI overrides in place.
+
+    Example: ``apply_overrides(cfg, ["optim.lr=3e-4", "data.batch_size=32"])``.
+    """
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must look like section.field=value")
+        key, raw = item.split("=", 1)
+        key = key.lstrip("-")
+        if "." not in key:
+            raise ValueError(f"override key {key!r} must look like section.field")
+        section, name = key.split(".", 1)
+        sub = getattr(cfg, section, None)
+        if sub is None or not hasattr(sub, name):
+            raise KeyError(f"unknown config field {key!r}")
+        setattr(sub, name, _coerce(getattr(sub, name), raw))
+    return cfg

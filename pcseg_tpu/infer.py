@@ -1,0 +1,101 @@
+"""Standalone inference — the reference's ``inference_example``
+(pcs.py:398-461) as a reusable API.
+
+Checkpoint -> model -> per-point argmax over a single (N, D) event or a
+batch of events. Events are padded to bucket lengths so repeated calls hit
+a handful of compiled programs (the compile caches persist across calls).
+Accepts either a native framework checkpoint directory or a reference
+``best_model.pth`` (pcs.py:401).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcseg_tpu.ckpt.checkpoint import load_checkpoint
+from pcseg_tpu.ckpt.torch_import import load_best_model_pth
+from pcseg_tpu.data.batching import DEFAULT_BUCKETS, pad_events, pick_bucket
+from pcseg_tpu.models.pointnet import PointNetSeg
+
+
+class Predictor:
+    """Eval-mode PointNetSeg bound to loaded weights."""
+
+    def __init__(
+        self,
+        variables: dict,
+        num_classes: int,
+        input_dim: int = 4,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.model = PointNetSeg(num_classes=num_classes, input_dim=input_dim)
+        self.variables = {
+            "params": jax.tree.map(jnp.asarray, variables["params"]),
+            "batch_stats": jax.tree.map(jnp.asarray, variables["batch_stats"]),
+        }
+        self.num_classes = num_classes
+        self.input_dim = input_dim
+        self.buckets = tuple(sorted(buckets))
+        self._forward = jax.jit(
+            lambda v, p: self.model.apply(v, p, train=False)
+        )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "Predictor":
+        """Load a framework checkpoint dir or a reference .pth file."""
+        if os.path.isfile(path) and path.endswith(".pth"):
+            variables, meta = load_best_model_pth(path)
+            num_classes = int(meta["num_classes"])  # pcs.py:402
+        else:
+            raw, meta = load_checkpoint(path)
+            variables = {
+                "params": raw["params"],
+                "batch_stats": raw["batch_stats"],
+            }
+            num_classes = int(meta["num_classes"])
+        return cls(variables, num_classes, **kw)
+
+    def logits(self, points: np.ndarray) -> np.ndarray:
+        """(N, D) -> (N, C) float32 logits for one event."""
+        points = np.asarray(points, np.float32)
+        n = points.shape[0]
+        bucket = pick_bucket(n, self.buckets)
+        labels = np.zeros(n, np.int64)
+        pts, _, _ = pad_events([(points, labels)], bucket,
+                               feature_dim=self.input_dim)
+        out = self._forward(self.variables, jnp.asarray(pts))
+        return np.asarray(out)[0, :n]
+
+    def predict(self, points: np.ndarray) -> np.ndarray:
+        """(N, D) -> (N,) int per-point class (argmax, pcs.py:452)."""
+        return np.argmax(self.logits(points), axis=-1)
+
+    def predict_batch(
+        self, events: Sequence[np.ndarray]
+    ) -> list[np.ndarray]:
+        """Batch of ragged events -> list of per-point predictions."""
+        out = []
+        for pts in events:
+            out.append(self.predict(pts))
+        return out
+
+
+def inference_example(
+    checkpoint_path: str,
+    dataset,
+    event_idx: int = 0,
+    log=print,
+) -> np.ndarray:
+    """The reference demo (pcs.py:398-461): load checkpoint, predict event
+    ``event_idx``, report accuracy vs true labels, return predictions."""
+    predictor = Predictor.from_checkpoint(checkpoint_path)
+    points, true_labels = dataset[event_idx]
+    preds = predictor.predict(points)
+    acc = float((preds == np.asarray(true_labels)).mean()) * 100.0
+    log(f"event {event_idx}: {points.shape[0]} points, accuracy {acc:.2f}%")
+    return preds

@@ -1,0 +1,188 @@
+"""PointNetSeg — the reference's segmentation network, TPU-native.
+
+Architecture contract (reference ``PointNetSegmentation``, pcs.py:65-133;
+full spec SURVEY.md §2.2): shared per-point MLPs
+4->64->64->64->128->1024, a 1024->1024 "global feature" stage, a global max
+pool over points, broadcast + concat with the 64-ch skip (= 1088 channels),
+then head 1088->512->256->128->num_classes with dropout 0.3 after the first
+two head stages; BN+ReLU everywhere except the final logits layer.
+
+Differences from the reference that are design, not behavior:
+- activations are channels-last ``(B, M, C)`` (MXU-friendly) instead of
+  torch's ``(B, C, M)`` — no transposes anywhere (reference transposes at
+  pcs.py:103/131);
+- parameters are a plain pytree, so pjit shardings, the ``best_model.pth``
+  importer (ckpt/torch_import.py) and Pallas fusions address them directly;
+- the whole forward is one traced function: XLA fuses each BN+ReLU into the
+  preceding matmul's epilogue.
+
+Behavioral parity (defaults reproduce reference numerics exactly):
+- BN statistics include zero-padded positions (pcs.py:53 + :106-127);
+- the global max pool runs over all M positions including padding
+  (pcs.py:114);
+- ``mask_norm_and_pool=True`` opts into the masked/corrected variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.ops.batchnorm import bn_param_init, bn_state_init
+from pcseg_tpu.ops.pointwise import dense_init, pointwise_block, pointwise_dense
+from pcseg_tpu.ops.pooling import global_max_pool
+
+# (name, in_dim, out_dim) for every parameterized stage, in forward order.
+# Mirrors the reference layer table (pcs.py:70-83); 'conv2' output is the
+# skip feature, 'seg4' has no BN/ReLU.
+ENCODER = [
+    ("conv1", 4, 64),
+    ("conv2", 64, 64),
+    ("conv3", 64, 64),
+    ("conv4", 64, 128),
+    ("conv5", 128, 1024),
+]
+GLOBAL = ("global_feat", 1024, 1024)
+HEAD = [
+    ("seg_conv1", 1088, 512),   # 1088 = 64 skip + 1024 global (pcs.py:80)
+    ("seg_conv2", 512, 256),
+    ("seg_conv3", 256, 128),
+]
+# BN state names follow the reference's bn naming (pcs.py:86-94).
+BN_FOR = {
+    "conv1": "bn1",
+    "conv2": "bn2",
+    "conv3": "bn3",
+    "conv4": "bn4",
+    "conv5": "bn5",
+    "global_feat": "bn_global",
+    "seg_conv1": "bn_seg1",
+    "seg_conv2": "bn_seg2",
+    "seg_conv3": "bn_seg3",
+}
+
+DROPOUT_RATE = 0.3  # pcs.py:96
+
+
+@dataclasses.dataclass(frozen=True)
+class PointNetSeg:
+    """Static model hyperparameters (a hashable jit-friendly spec)."""
+
+    num_classes: int
+    input_dim: int = 4
+    dropout: float = DROPOUT_RATE
+    mask_norm_and_pool: bool = False
+    compute_dtype: str = "float32"
+
+    def init(self, key: jax.Array) -> dict:
+        return pointnet_init(key, self.num_classes, self.input_dim)
+
+    def apply(self, variables, points, **kw):
+        return pointnet_apply(
+            variables,
+            points,
+            dropout_rate=self.dropout,
+            mask_norm_and_pool=self.mask_norm_and_pool,
+            compute_dtype=jnp.dtype(self.compute_dtype),
+            **kw,
+        )
+
+
+def pointnet_init(key: jax.Array, num_classes: int, input_dim: int = 4) -> dict:
+    """Build {params, batch_stats} pytrees with torch-default init."""
+    if num_classes < 1:
+        raise ValueError("num_classes must be >= 1")
+    stages = list(ENCODER) + [GLOBAL] + list(HEAD) + [
+        ("seg_conv4", 128, num_classes)
+    ]
+    stages[0] = ("conv1", input_dim, 64)
+    keys = jax.random.split(key, len(stages))
+    params, batch_stats = {}, {}
+    for k, (name, din, dout) in zip(keys, stages):
+        params[name] = dense_init(k, din, dout)
+        bn_name = BN_FOR.get(name)
+        if bn_name is not None:
+            params[bn_name] = bn_param_init(dout)
+            batch_stats[bn_name] = bn_state_init(dout)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def pointnet_apply(
+    variables: dict,
+    points: jax.Array,
+    *,
+    train: bool = False,
+    mask: Optional[jax.Array] = None,
+    dropout_key: Optional[jax.Array] = None,
+    dropout_rate: float = DROPOUT_RATE,
+    mask_norm_and_pool: bool = False,
+    axis_name: Optional[str] = None,
+    compute_dtype=jnp.float32,
+):
+    """Forward pass.
+
+    points: (B, M, input_dim). Returns logits (B, M, num_classes) f32;
+    when ``train=True``, returns ``(logits, new_batch_stats)``.
+    Reference dataflow: pcs.py:98-133.
+    """
+    params = variables["params"]
+    bn = variables["batch_stats"]
+    new_bn = {}
+    stat_mask = mask if mask_norm_and_pool else None
+
+    def block(name, x, relu=True):
+        bn_name = BN_FOR[name]
+        y, nb = pointwise_block(
+            params[name],
+            params[bn_name],
+            bn[bn_name],
+            x,
+            train=train,
+            relu=relu,
+            mask=stat_mask,
+            axis_name=axis_name,
+            compute_dtype=compute_dtype,
+        )
+        if train:
+            new_bn[bn_name] = nb
+        return y
+
+    x = points.astype(compute_dtype)
+    x = block("conv1", x)
+    point_feat = block("conv2", x)          # 64-ch skip (pcs.py:107)
+    x = block("conv3", point_feat)
+    x = block("conv4", x)
+    x = block("conv5", x)
+
+    g = block("global_feat", x)             # pcs.py:113
+    g = global_max_pool(g, mask=stat_mask)  # (B, 1024) — pcs.py:114
+    g = jnp.broadcast_to(
+        g[:, None, :], (x.shape[0], x.shape[1], g.shape[-1])
+    )                                        # pcs.py:117
+    x = jnp.concatenate([point_feat, g], axis=-1)  # (B, M, 1088) — pcs.py:120
+
+    if train and dropout_rate > 0.0 and dropout_key is None:
+        raise ValueError("train=True with dropout needs dropout_key")
+
+    def dropout(x, i):
+        if not train or dropout_rate <= 0.0:
+            return x
+        k = jax.random.fold_in(dropout_key, i)
+        keep = jax.random.bernoulli(k, 1.0 - dropout_rate, x.shape)
+        return jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+
+    x = block("seg_conv1", x)
+    x = dropout(x, 0)                        # pcs.py:124
+    x = block("seg_conv2", x)
+    x = dropout(x, 1)                        # pcs.py:126
+    x = block("seg_conv3", x)
+    logits = pointwise_dense(
+        params["seg_conv4"], x, compute_dtype
+    ).astype(jnp.float32)                    # raw logits, no BN/act (pcs.py:128)
+
+    if train:
+        return logits, new_bn
+    return logits

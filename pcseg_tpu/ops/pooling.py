@@ -1,0 +1,26 @@
+"""Global pooling over the point axis.
+
+The reference's single cross-point op: ``torch.max(feat, dim=2)`` global max
+pool (pcs.py:114). Parity note: the reference pools over ALL M positions
+including zero-padding; with post-ReLU (>=0) features the padded columns
+contribute their BN-shifted ReLU outputs, which is part of the reference's
+numerics. ``mask=None`` reproduces that; a mask enables the corrected
+variant that pools only valid points.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def global_max_pool(
+    x: jax.Array, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    """(B, M, C) -> (B, C) max over points; optionally only valid points."""
+    if mask is not None:
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, x.dtype)
+        x = jnp.where(mask[..., None], x, neg)
+    return jnp.max(x, axis=1)

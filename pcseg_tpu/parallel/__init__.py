@@ -1,0 +1,9 @@
+from pcseg_tpu.parallel.mesh import (
+    MeshSpec,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    psum_mean,
+    initialize_distributed,
+)

@@ -1,0 +1,228 @@
+"""Jitted train/eval steps with mesh data parallelism.
+
+Replaces the reference's per-batch step logic (pcs.py:236-271 train,
+:276-312 val) and its ``nn.DataParallel`` scatter/gather (pcs.py:209-213):
+
+- the step is ONE compiled program per bucket shape (forward + loss +
+  backward + Adam + metrics) — no per-step host sync; the reference syncs
+  on ``loss.item()`` every batch (pcs.py:258);
+- data parallelism is ``shard_map`` over the mesh ``data`` axis: each
+  device sees its batch shard, computes grads, and a ``psum`` mean-reduces
+  them over ICI (the explicit equivalent of DataParallel's implicit
+  gradient averaging);
+- BN batch statistics are per-replica by default (DataParallel semantics,
+  SURVEY.md §2.2) — running stats then also stay per-replica identical
+  because every replica starts from the same state and sees its own batch;
+  we average stats across replicas after the update so the canonical state
+  remains replicated. ``sync_batchnorm=True`` psum-pools the batch moments
+  instead (true sync-BN).
+- eval accumulates loss/accuracy AND the confusion matrix in one pass,
+  replacing the reference's separate third F1 sweep (pcs.py:314-346).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pcseg_tpu.models.pointnet import PointNetSeg
+from pcseg_tpu.ops.metrics import confusion_matrix, masked_accuracy
+from pcseg_tpu.parallel.mesh import DATA_AXIS
+from pcseg_tpu.train.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jax.Array          # int32 scalar
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    model: PointNetSeg,
+    key: jax.Array,
+    optimizer: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    variables = model.init(key)
+    tx = optimizer if optimizer is not None else make_optimizer()
+    opt_state = tx.init(variables["params"])
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=opt_state,
+    )
+
+
+def make_train_step(
+    model: PointNetSeg,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    class_weights: Optional[jnp.ndarray] = None,
+    sync_batchnorm: bool = False,
+    donate: bool = True,
+):
+    """Build the compiled train step.
+
+    Signature: ``train_step(state, batch, lr, dropout_key) ->
+    (new_state, metrics)`` where batch = (points (B,M,D), labels (B,M),
+    masks (B,M)) with B divisible by the mesh data axis, and metrics =
+    {loss, correct, total} global scalars (loss = global weighted CE, the
+    same number DataParallel's gathered loss produces).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    bn_axis = DATA_AXIS if sync_batchnorm else None
+
+    def step(state: TrainState, batch, lr, dropout_key):
+        points, labels, masks = batch
+        # Decorrelate dropout masks across replicas (DataParallel replicas
+        # also draw independent masks).
+        dropout_key = jax.random.fold_in(
+            dropout_key, jax.lax.axis_index(DATA_AXIS)
+        )
+
+        def loss_fn(params):
+            logits, new_bn = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points,
+                train=True,
+                mask=masks,
+                dropout_key=dropout_key,
+                axis_name=bn_axis,
+            )
+            # Per-shard weighted CE as (numerator, weight-sum) so the
+            # GLOBAL loss (= reference's single-device loss) is
+            # psum(num)/psum(den), not a mean of shard means.
+            num_classes = logits.shape[-1]
+            valid = labels >= 0
+            safe = jnp.where(valid, labels, 0)
+            logz = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1
+            )
+            true_logit = jnp.take_along_axis(
+                logits.astype(jnp.float32), safe[..., None], axis=-1
+            ).squeeze(-1)
+            nll = logz - true_logit
+            if class_weights is None:
+                w = valid.astype(jnp.float32)
+            else:
+                w = jnp.where(valid, class_weights[safe], 0.0)
+            num = jnp.sum(w * nll)
+            den = jnp.sum(w)
+            gnum = jax.lax.psum(num, DATA_AXIS)
+            gden = jnp.maximum(
+                jax.lax.psum(den, DATA_AXIS), jnp.finfo(jnp.float32).tiny
+            )
+            loss = gnum / gden
+            return loss, (logits, new_bn)
+
+        (loss, (logits, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        # loss is already global => grads from each shard already carry the
+        # global normalization; psum completes the allreduce.
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, DATA_AXIS), grads)
+
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(
+            state.params, jax.tree.map(lambda u: (-lr) * u, updates)
+        )
+
+        # Canonical running stats: average the per-replica updates (no-op
+        # when sync_batchnorm since stats are already identical).
+        new_bn = jax.tree.map(
+            lambda s: jax.lax.psum(s, DATA_AXIS) / n_data, new_bn
+        )
+
+        correct, total = masked_accuracy(logits, labels, masks)
+        metrics = {
+            "loss": loss,
+            "correct": jax.lax.psum(correct, DATA_AXIS),
+            "total": jax.lax.psum(total, DATA_AXIS),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bn,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    rep = P()
+    shd = P(DATA_AXIS)
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, (shd, shd, shd), rep, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(mapped, donate_argnums=donate_argnums)
+
+
+def make_eval_step(
+    model: PointNetSeg,
+    mesh: Mesh,
+    num_classes: int,
+    class_weights: Optional[jnp.ndarray] = None,
+):
+    """Build the compiled eval step.
+
+    Signature: ``eval_step(state, batch) -> metrics`` with
+    {loss, correct, total, confusion (C,C)} — loss/accuracy as the
+    reference's val pass (pcs.py:276-312) plus the confusion matrix that
+    replaces its third F1 sweep (pcs.py:314-346).
+    """
+
+    def step(state: TrainState, batch):
+        points, labels, masks = batch
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            train=False,
+            mask=masks,
+        )
+        valid = labels >= 0
+        safe = jnp.where(valid, labels, 0)
+        logz = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1
+        )
+        true_logit = jnp.take_along_axis(
+            logits.astype(jnp.float32), safe[..., None], axis=-1
+        ).squeeze(-1)
+        nll = logz - true_logit
+        if class_weights is None:
+            w = valid.astype(jnp.float32)
+        else:
+            w = jnp.where(valid, class_weights[safe], 0.0)
+        num = jax.lax.psum(jnp.sum(w * nll), DATA_AXIS)
+        den = jnp.maximum(
+            jax.lax.psum(jnp.sum(w), DATA_AXIS), jnp.finfo(jnp.float32).tiny
+        )
+        correct, total = masked_accuracy(logits, labels, masks)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, labels, masks, num_classes)
+        return {
+            "loss": num / den,
+            "correct": jax.lax.psum(correct, DATA_AXIS),
+            "total": jax.lax.psum(total, DATA_AXIS),
+            "confusion": jax.lax.psum(cm, DATA_AXIS),
+        }
+
+    rep = P()
+    shd = P(DATA_AXIS)
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, (shd, shd, shd)),
+        out_specs=rep,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
