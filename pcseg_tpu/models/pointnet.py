@@ -131,7 +131,19 @@ def pointnet_apply(
     params = variables["params"]
     bn = variables["batch_stats"]
     new_bn = {}
-    stat_mask = mask if mask_norm_and_pool else None
+    if mask_norm_and_pool:
+        # opt-in corrected mode: padded points excluded everywhere
+        stat_mask, pool_mask = mask, mask
+    elif mask is not None:
+        # Reference mode: BN stats include padded POINTS of real events
+        # (pcs.py:53 + :106-127) — but all-masked dummy ROWS (our
+        # batch-dim padding for short final batches, which the reference
+        # never has) must not pollute the statistics.
+        rows = jnp.any(mask, axis=1)
+        stat_mask = jnp.broadcast_to(rows[:, None], mask.shape)
+        pool_mask = None       # pool over all M positions (pcs.py:114)
+    else:
+        stat_mask, pool_mask = None, None
 
     def block(name, x, relu=True):
         bn_name = BN_FOR[name]
@@ -158,7 +170,7 @@ def pointnet_apply(
     x = block("conv5", x)
 
     g = block("global_feat", x)             # pcs.py:113
-    g = global_max_pool(g, mask=stat_mask)  # (B, 1024) — pcs.py:114
+    g = global_max_pool(g, mask=pool_mask)  # (B, 1024) — pcs.py:114
     g = jnp.broadcast_to(
         g[:, None, :], (x.shape[0], x.shape[1], g.shape[-1])
     )                                        # pcs.py:117

@@ -83,15 +83,28 @@ def batchnorm_train(
     (pcs.py:211), so the default is None.
     """
     xf = x.astype(jnp.float32)
-    mean, var, n = _masked_moments(xf, mask)
-    if axis_name is not None:
-        # Pool moments across replicas: global E[x] and E[x^2] are
-        # element-count-weighted means of the per-replica moments.
-        ex = mean * n
-        ex2 = (var + jnp.square(mean)) * n
-        n = jax.lax.psum(n, axis_name)
-        mean = jax.lax.psum(ex, axis_name) / n
-        var = jax.lax.psum(ex2, axis_name) / n - jnp.square(mean)
+    if axis_name is None:
+        mean, var, n = _masked_moments(xf, mask)
+    else:
+        # Two-pass cross-replica moments: psum the sums for the global
+        # mean, then psum the centered squares. Same result as computing
+        # on the unsharded batch (the E[x^2]-mu^2 shortcut would lose
+        # precision to cancellation and break bit-comparability with the
+        # single-device path).
+        m = (
+            mask.astype(xf.dtype)[..., None]
+            if mask is not None
+            else jnp.ones(xf.shape[:2] + (1,), xf.dtype)
+        )
+        n = jax.lax.psum(jnp.sum(m), axis_name)
+        n = jnp.maximum(n, 1.0)
+        mean = jax.lax.psum(jnp.sum(xf * m, axis=(0, 1)), axis_name) / n
+        var = (
+            jax.lax.psum(
+                jnp.sum(jnp.square(xf - mean) * m, axis=(0, 1)), axis_name
+            )
+            / n
+        )
     inv = jax.lax.rsqrt(var + EPS)
     y = (xf - mean) * inv * bn_params["scale"] + bn_params["bias"]
     unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))

@@ -120,12 +120,14 @@ def make_train_step(
             loss = gnum / gden
             return loss, (logits, new_bn)
 
+        # Under shard_map's VMA type system (check_vma=True), the gradient
+        # of a psum-reduced (replicated) loss w.r.t. replicated params comes
+        # back ALREADY psum-reduced across the data axis — JAX inserts the
+        # allreduce at the psum transpose. No manual gradient psum (it
+        # would multiply grads by the axis size).
         (loss, (logits, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        # loss is already global => grads from each shard already carry the
-        # global normalization; psum completes the allreduce.
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, DATA_AXIS), grads)
 
         updates, new_opt = optimizer.update(
             grads, state.opt_state, state.params
@@ -161,7 +163,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(rep, (shd, shd, shd), rep, rep),
         out_specs=(rep, rep),
-        check_vma=False,
+        check_vma=True,
     )
     donate_argnums = (0,) if donate else ()
     return jax.jit(mapped, donate_argnums=donate_argnums)
@@ -223,6 +225,6 @@ def make_eval_step(
         mesh=mesh,
         in_specs=(rep, (shd, shd, shd)),
         out_specs=rep,
-        check_vma=False,
+        check_vma=True,
     )
     return jax.jit(mapped)

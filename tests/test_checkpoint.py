@@ -1,0 +1,89 @@
+"""Checkpoint save/restore + best_model.pth interop."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.ckpt.checkpoint import load_checkpoint, save_checkpoint
+from pcseg_tpu.models.pointnet import PointNetSeg
+from pcseg_tpu.train.optim import make_optimizer
+from pcseg_tpu.train.steps import create_train_state
+
+
+def test_save_load_roundtrip(tmp_path):
+    model = PointNetSeg(num_classes=4)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, {"epoch": 3, "num_classes": 4})
+    restored, meta = load_checkpoint(path, target=state)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_is_atomic_overwrite(tmp_path):
+    model = PointNetSeg(num_classes=2)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, {"epoch": 0})
+    save_checkpoint(path, state, {"epoch": 1})
+    _, meta = load_checkpoint(path)
+    assert meta["epoch"] == 1
+
+
+def test_best_model_pth_load(tmp_path):
+    """A reference-format .pth (torch.save of the pcs.py:373-382 dict,
+    with DataParallel prefix) loads into a working Predictor."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref import RefPointNetSeg
+
+    from pcseg_tpu.infer import Predictor
+
+    tmodel = RefPointNetSeg(num_classes=4)
+    sd = {f"module.{k}": v for k, v in tmodel.state_dict().items()}
+    pth = str(tmp_path / "best_model.pth")
+    torch.save(
+        {
+            "epoch": 5,
+            "model_state_dict": sd,
+            "optimizer_state_dict": {},
+            "train_loss": 0.5,
+            "val_loss": 0.6,
+            "f1_class2": 0.7,
+            "f1_per_class": [0.9, 0.8, 0.7, 0.6],
+            "num_classes": 4,
+        },
+        pth,
+    )
+
+    predictor = Predictor.from_checkpoint(pth)
+    rng = np.random.default_rng(0)
+    points = rng.normal(size=(100, 4)).astype(np.float32)
+    preds = predictor.predict(points)
+    assert preds.shape == (100,)
+
+    # logits parity against the torch model itself
+    tmodel.eval()
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(points[None])).numpy()[0]
+    np.testing.assert_allclose(
+        predictor.logits(points), tout, atol=1e-4, rtol=1e-4
+    )
+
+
+def test_framework_checkpoint_predictor(tmp_path):
+    model = PointNetSeg(num_classes=3)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(1), tx)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, {"num_classes": 3})
+
+    from pcseg_tpu.infer import Predictor
+
+    p = Predictor.from_checkpoint(path)
+    preds = p.predict(np.zeros((10, 4), np.float32))
+    assert preds.shape == (10,)

@@ -1,0 +1,147 @@
+"""Data-parallel correctness: the mesh must be numerics-invisible.
+
+A DP step over 8 devices must produce the same new params as the same
+batch on a 1-device mesh — the global weighted-CE normalization (psum of
+numerator/denominator, not mean-of-means) is what makes this exact even
+with uneven valid-point counts per shard.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcseg_tpu.data.batching import pad_events
+from pcseg_tpu.models.pointnet import PointNetSeg
+from pcseg_tpu.parallel.mesh import MeshSpec, make_mesh
+from pcseg_tpu.train.optim import make_optimizer
+from pcseg_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _uneven_batch(small_events, b=8, bucket=512):
+    # deliberately uneven: different event sizes per row
+    points, labels, masks = pad_events(small_events[:b], bucket, b)
+    return jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks)
+
+
+def test_dp8_matches_single_device(mesh8, small_events):
+    """With sync-BN, an 8-shard step is bit-comparable to 1 device.
+
+    (With per-replica BN — the DataParallel default — train-mode
+    activations legitimately depend on the device count, exactly like the
+    reference under DataParallel; that behavior is covered in
+    test_sync_batchnorm_matches_global_stats.)
+    """
+    import optax
+
+    model = PointNetSeg(num_classes=4, dropout=0.0)  # dropout off: keys
+    # fold in axis_index, so masks differ across replica layouts by design.
+    # Identity "optimizer": new_params = params - lr * grad, so the param
+    # delta IS the gradient — Adam's sign-like first step would amplify
+    # reduction-order noise in near-zero grads into +/-lr flips.
+    tx = optax.identity()
+    cw = jnp.asarray([0.3, 0.3, 2.8, 0.6])
+    batch = _uneven_batch(small_events)
+
+    mesh1 = make_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+
+    outs = {}
+    for name, mesh in [("dp8", mesh8), ("dp1", mesh1)]:
+        state = create_train_state(model, jax.random.key(0), tx)
+        step = make_train_step(
+            model, tx, mesh, class_weights=cw, sync_batchnorm=True,
+            donate=False,
+        )
+        new_state, metrics = step(
+            state, batch, jnp.float32(1e-3), jax.random.key(9)
+        )
+        outs[name] = (new_state, metrics)
+
+    m8, m1 = outs["dp8"][1], outs["dp1"][1]
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    assert float(m8["correct"]) == float(m1["correct"])
+    assert float(m8["total"]) == float(m1["total"])
+
+    # param deltas = -lr * grads: gradients must agree across meshes
+    leaves8 = jax.tree.leaves(outs["dp8"][0].params)
+    leaves1 = jax.tree.leaves(outs["dp1"][0].params)
+    for a, b in zip(leaves8, leaves1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
+
+
+def test_eval_dp8_matches_single_device(mesh8, small_events):
+    model = PointNetSeg(num_classes=4)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    batch = _uneven_batch(small_events)
+    mesh1 = make_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+
+    e8 = make_eval_step(model, mesh8, 4)(state, batch)
+    e1 = make_eval_step(model, mesh1, 4)(state, batch)
+    np.testing.assert_allclose(float(e8["loss"]), float(e1["loss"]), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(e8["confusion"]), np.asarray(e1["confusion"])
+    )
+
+
+def test_sync_batchnorm_matches_global_stats(mesh8, small_events):
+    """sync-BN on 8 shards == per-replica BN on 1 device (same global batch)."""
+    model = PointNetSeg(num_classes=4, dropout=0.0)
+    tx = make_optimizer()
+    batch = _uneven_batch(small_events)
+    mesh1 = make_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+
+    s8 = create_train_state(model, jax.random.key(0), tx)
+    s1 = create_train_state(model, jax.random.key(0), tx)
+    step8 = make_train_step(model, tx, mesh8, sync_batchnorm=True, donate=False)
+    step1 = make_train_step(model, tx, mesh1, sync_batchnorm=False, donate=False)
+    n8, _ = step8(s8, batch, jnp.float32(1e-3), jax.random.key(5))
+    n1, _ = step1(s1, batch, jnp.float32(1e-3), jax.random.key(5))
+    for a, b in zip(
+        jax.tree.leaves(n8.batch_stats), jax.tree.leaves(n1.batch_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_fully_padded_rows_are_inert_to_loss(mesh8, small_events):
+    """Short final batches are padded with all-masked rows; the loss and
+    metrics must not see them (grad path unaffected)."""
+    model = PointNetSeg(num_classes=4, dropout=0.0)
+    tx = make_optimizer()
+    cw = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+
+    points, labels, masks = pad_events(small_events[:8], 512, 8)
+    # second batch: same 8 events but declared as batch of 16 w/ 8 dummy rows
+    points2, labels2, masks2 = pad_events(small_events[:8], 512, 16)
+
+    state = create_train_state(model, jax.random.key(0), tx)
+    # sync-BN so statistics are layout-independent: with per-replica BN
+    # the row placement itself changes local stats (as with DataParallel).
+    step = make_train_step(
+        model, tx, mesh8, class_weights=cw, sync_batchnorm=True, donate=False
+    )
+    _, m_a = step(
+        state,
+        (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks)),
+        jnp.float32(1e-3),
+        jax.random.key(0),
+    )
+    state2 = create_train_state(model, jax.random.key(0), tx)
+    _, m_b = step(
+        state2,
+        (jnp.asarray(points2), jnp.asarray(labels2), jnp.asarray(masks2)),
+        jnp.float32(1e-3),
+        jax.random.key(0),
+    )
+    # loss/metrics identical: padded rows carry zero loss weight
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+    )
+    assert float(m_a["total"]) == float(m_b["total"])
