@@ -1,0 +1,151 @@
+"""CLI: ``python -m pcseg_tpu.cli {train,infer,bench,synth} [...]``.
+
+The reference has no CLI — its ``__main__`` unconditionally trains then
+runs an inference demo (pcs.py:463-484). Here those are subcommands with
+every hardcoded literal exposed as a ``--section.field=value`` override
+(core/config.py documents the reference defaults).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from pcseg_tpu.core.config import Config, apply_overrides
+
+
+def _add_overrides(p: argparse.ArgumentParser):
+    p.add_argument(
+        "overrides",
+        nargs="*",
+        help="config overrides, e.g. optim.lr=3e-4 data.batch_size=32",
+    )
+
+
+def cmd_train(args) -> int:
+    from pcseg_tpu.api import fit
+    from pcseg_tpu.infer import inference_example
+    from pcseg_tpu.data.hdf5 import PointCloudDataset
+
+    cfg = Config()
+    if args.data:
+        cfg.data.data_path = args.data
+    if args.labels:
+        cfg.data.label_path = args.labels
+    apply_overrides(cfg, args.overrides)
+    result = fit(config=cfg)
+    print(
+        json.dumps(
+            {
+                "best_epoch": result.best_epoch,
+                "best_f1_target": result.best_f1_target,
+                "best_val_loss": result.best_val_loss,
+                "checkpoint": result.checkpoint_path,
+            }
+        )
+    )
+    if args.demo:
+        # reference __main__ behavior: run the inference demo after
+        # training (pcs.py:470-477)
+        try:
+            with PointCloudDataset(
+                cfg.data.data_path, cfg.data.label_path
+            ) as ds:
+                inference_example(result.checkpoint_path, ds, event_idx=0)
+        except Exception as e:  # mirror of pcs.py:473-477
+            print(f"inference demo failed: {e}", file=sys.stderr)
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from pcseg_tpu.data.hdf5 import PointCloudDataset
+    from pcseg_tpu.infer import Predictor
+
+    predictor = Predictor.from_checkpoint(args.checkpoint)
+    with PointCloudDataset(args.data, args.labels) as ds:
+        points, true_labels = ds[args.event]
+        preds = predictor.predict(points)
+        acc = float((preds == true_labels).mean()) * 100.0
+    print(
+        json.dumps(
+            {
+                "event": args.event,
+                "num_points": int(points.shape[0]),
+                "accuracy": acc,
+                "predictions": preds.tolist() if args.dump else None,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from pcseg_tpu.data.hdf5 import write_event_files
+    from pcseg_tpu.data.synthetic import synthetic_events
+
+    n = write_event_files(
+        args.data,
+        args.labels,
+        synthetic_events(
+            args.events,
+            num_classes=args.classes,
+            min_points=args.min_points,
+            max_points=args.max_points,
+            seed=args.seed,
+        ),
+    )
+    print(json.dumps({"events": n, "data": args.data, "labels": args.labels}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pcseg_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a model (reference train_model)")
+    p.add_argument("--data", help="HDF5 points file")
+    p.add_argument("--labels", help="HDF5 labels file")
+    p.add_argument(
+        "--demo", action="store_true",
+        help="run the post-training inference demo (reference __main__)",
+    )
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("infer", help="predict one event from a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--event", type=int, default=0)
+    p.add_argument("--dump", action="store_true", help="print predictions")
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("synth", help="generate synthetic event files")
+    p.add_argument("--data", required=True)
+    p.add_argument("--labels", required=True)
+    p.add_argument("--events", type=int, default=1000)
+    p.add_argument("--classes", type=int, default=4)
+    p.add_argument("--min-points", type=int, default=100)
+    p.add_argument("--max-points", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
