@@ -1,0 +1,127 @@
+"""VoxelUNet3d — voxelize -> 3D U-Net -> devoxelize, end to end.
+
+The north-star model (BASELINE.json): points in, per-point logits out,
+with a dense 3D convolutional encoder-decoder in the middle. Not present
+in the reference (whose model is the PointNet in models/pointnet.py); this
+is new TPU-first surface:
+
+- channels-last NDHWC grids so convs tile onto the MXU,
+- GroupNorm (no cross-replica stats, no train/eval split),
+- bf16 compute with f32 params via ``compute_dtype``,
+- identical ``init/apply`` duck-type as PointNetSeg, so the same jitted
+  train/eval steps, checkpointing, CLI, and DP mesh path drive both model
+  families (batch_stats is an empty pytree here).
+
+Architecture (grid R, widths w, 2w, 4w):
+  stem conv3x3 -> [enc level: 2x(conv-gn-relu)] -> stride-2 down ...
+  bottleneck ... transpose-conv up + skip concat -> [dec level] ...
+  1x1x1 head -> per-voxel logits -> trilinear devoxelize -> (B, M, C).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.ops.conv3d import (
+    conv3d,
+    conv3d_init,
+    conv3d_transpose,
+    group_norm,
+    group_norm_init,
+)
+from pcseg_tpu.ops.voxel import devoxelize_trilinear, voxelize
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelUNet3d:
+    num_classes: int
+    input_dim: int = 4          # xyz + F features; voxel channels = F-3+1
+    grid_size: int = 64
+    width: int = 16
+    levels: int = 3
+    compute_dtype: str = "float32"
+    # unused knobs kept for duck-type compatibility with PointNetSeg
+    dropout: float = 0.0
+    mask_norm_and_pool: bool = True
+
+    @property
+    def in_channels(self) -> int:
+        return self.input_dim - 3 + 1   # features + occupancy
+
+    def init(self, key: jax.Array) -> dict:
+        keys = iter(jax.random.split(key, 64))
+        w = self.width
+        p: dict = {}
+        p["stem"] = conv3d_init(next(keys), 3, self.in_channels, w)
+        p["stem_gn"] = group_norm_init(w)
+        widths = [w * (2 ** i) for i in range(self.levels)]
+        for i, wi in enumerate(widths):
+            p[f"enc{i}_a"] = conv3d_init(next(keys), 3, wi, wi)
+            p[f"enc{i}_a_gn"] = group_norm_init(wi)
+            p[f"enc{i}_b"] = conv3d_init(next(keys), 3, wi, wi)
+            p[f"enc{i}_b_gn"] = group_norm_init(wi)
+            if i < self.levels - 1:
+                p[f"down{i}"] = conv3d_init(next(keys), 2, wi, widths[i + 1])
+                p[f"down{i}_gn"] = group_norm_init(widths[i + 1])
+        for i in range(self.levels - 2, -1, -1):
+            wi, wlow = widths[i], widths[i + 1]
+            p[f"up{i}"] = conv3d_init(next(keys), 2, wlow, wi)
+            p[f"up{i}_gn"] = group_norm_init(wi)
+            p[f"dec{i}_a"] = conv3d_init(next(keys), 3, 2 * wi, wi)
+            p[f"dec{i}_a_gn"] = group_norm_init(wi)
+            p[f"dec{i}_b"] = conv3d_init(next(keys), 3, wi, wi)
+            p[f"dec{i}_b_gn"] = group_norm_init(wi)
+        p["head"] = conv3d_init(next(keys), 1, w, self.num_classes)
+        return {"params": p, "batch_stats": {}}
+
+    def apply(
+        self,
+        variables: dict,
+        points: jax.Array,
+        *,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+        dropout_key: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ):
+        p = variables["params"]
+        dt = jnp.dtype(self.compute_dtype)
+        if mask is None:
+            mask = jnp.ones(points.shape[:2], bool)
+
+        grid = voxelize(points, mask, self.grid_size)
+        x = grid.features.astype(dt)
+
+        def block(name, x, stride=1, transpose=False, k_gn=None):
+            conv = conv3d_transpose if transpose else conv3d
+            y = conv(p[name], x, stride=stride, compute_dtype=dt)
+            y = group_norm(p[k_gn or f"{name}_gn"], y)
+            return jnp.maximum(y, 0.0).astype(dt)
+
+        x = block("stem", x)
+        skips = []
+        for i in range(self.levels):
+            x = block(f"enc{i}_a", x)
+            x = block(f"enc{i}_b", x)
+            if i < self.levels - 1:
+                skips.append(x)
+                x = block(f"down{i}", x, stride=2)
+        for i in range(self.levels - 2, -1, -1):
+            x = block(f"up{i}", x, stride=2, transpose=True)
+            x = jnp.concatenate([x, skips[i].astype(dt)], axis=-1)
+            x = block(f"dec{i}_a", x)
+            x = block(f"dec{i}_b", x)
+        voxel_logits = conv3d(p["head"], x, compute_dtype=dt).astype(
+            jnp.float32
+        )
+
+        logits = devoxelize_trilinear(
+            voxel_logits, points, mask, grid.lo, grid.scale
+        )
+        if train:
+            return logits, {}
+        return logits

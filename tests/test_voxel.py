@@ -1,0 +1,126 @@
+"""Voxelize/devoxelize ops + VoxelUNet3d model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcseg_tpu.data.batching import pad_events
+from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+from pcseg_tpu.ops.voxel import (
+    devoxelize_nearest,
+    devoxelize_trilinear,
+    voxel_indices,
+    voxelize,
+)
+
+
+def _batch(rng, b=2, m=128, pad=32):
+    points = rng.uniform(-10, 10, size=(b, m, 4)).astype(np.float32)
+    masks = np.ones((b, m), bool)
+    masks[:, m - pad:] = False
+    points[~masks] = 0.0
+    return jnp.asarray(points), jnp.asarray(masks)
+
+
+def test_voxelize_mass_conservation(rng):
+    """Every valid point lands in exactly one voxel; counts add up."""
+    points, masks = _batch(rng)
+    grid = voxelize(points, masks, grid_size=16)
+    np.testing.assert_allclose(
+        np.asarray(grid.counts).sum(axis=(1, 2, 3)),
+        np.asarray(masks).sum(axis=1).astype(np.float32),
+    )
+    # occupancy channel mean is 1 wherever count > 0
+    occ = np.asarray(grid.features[..., -1])
+    cnt = np.asarray(grid.counts)
+    np.testing.assert_allclose(occ[cnt > 0], 1.0)
+    assert (occ[cnt == 0] == 0).all()
+
+
+def test_voxelize_feature_mean(rng):
+    """Feature scatter is a mean: single-point voxels carry the raw value."""
+    pts = np.zeros((1, 4, 4), np.float32)
+    pts[0, :, :3] = [[0, 0, 0], [9.9, 9.9, 9.9], [0, 0, 9.9], [0.1, 0, 0]]
+    pts[0, :, 3] = [2.0, 4.0, 6.0, 10.0]
+    masks = jnp.ones((1, 4), bool)
+    grid = voxelize(jnp.asarray(pts), masks, grid_size=2)
+    f = np.asarray(grid.features[0, ..., 0])
+    c = np.asarray(grid.counts[0])
+    # points 0 and 3 share voxel (0,0,0): mean (2+10)/2
+    assert c[0, 0, 0] == 2 and f[0, 0, 0] == 6.0
+    assert c[1, 1, 1] == 1 and f[1, 1, 1] == 4.0
+    assert c[0, 0, 1] == 1 and f[0, 0, 1] == 6.0
+
+
+def test_voxelize_padding_independent(rng):
+    """More padding must not change the voxel grid (spill voxel works)."""
+    points, masks = _batch(rng, m=128, pad=32)
+    g1 = voxelize(points, masks, 8)
+    # re-pad the same events to 256 points
+    points2 = jnp.concatenate(
+        [points, jnp.zeros((2, 128, 4), jnp.float32)], axis=1
+    )
+    masks2 = jnp.concatenate([masks, jnp.zeros((2, 128), bool)], axis=1)
+    g2 = voxelize(points2, masks2, 8)
+    np.testing.assert_allclose(
+        np.asarray(g1.features), np.asarray(g2.features)
+    )
+    np.testing.assert_allclose(np.asarray(g1.lo), np.asarray(g2.lo))
+
+
+def test_devoxelize_nearest_roundtrip(rng):
+    """A point reads back the voxel it scattered into."""
+    points, masks = _batch(rng)
+    grid = voxelize(points, masks, 16)
+    flat, _, _ = voxel_indices(points[..., :3], masks, 16)
+    vals = devoxelize_nearest(grid.features, points, masks, grid.lo, grid.scale)
+    # occupancy channel must be 1 for every valid point
+    occ = np.asarray(vals[..., -1])
+    np.testing.assert_allclose(occ[np.asarray(masks)], 1.0)
+    assert (np.asarray(vals)[~np.asarray(masks)] == 0).all()
+
+
+def test_devoxelize_trilinear_constant_field(rng):
+    """Interpolating a constant grid returns that constant (partition of
+    unity), away from boundary clamping effects."""
+    b, m, r = 1, 64, 8
+    points = rng.uniform(2.0, 8.0, size=(b, m, 4)).astype(np.float32)
+    masks = jnp.ones((b, m), bool)
+    # grid spanning the box: use voxelize to get lo/scale
+    grid = voxelize(jnp.asarray(points), masks, r)
+    const = jnp.full((b, r, r, r, 3), 5.0)
+    out = devoxelize_trilinear(const, jnp.asarray(points), masks, grid.lo, grid.scale)
+    np.testing.assert_allclose(np.asarray(out), 5.0, rtol=1e-5)
+
+
+def test_voxel_unet_forward(small_events):
+    model = VoxelUNet3d(num_classes=4, grid_size=16, width=8)
+    variables = model.init(jax.random.key(0))
+    points, labels, masks = pad_events(small_events[:2], 512, 2)
+    logits = model.apply(
+        variables, jnp.asarray(points), train=False, mask=jnp.asarray(masks)
+    )
+    assert logits.shape == (2, 512, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+    # padded points get zero logits
+    assert (np.asarray(logits)[~masks] == 0).all()
+
+
+def test_voxel_unet_trains(mesh8, small_events):
+    import optax
+
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state, make_train_step
+
+    model = VoxelUNet3d(num_classes=4, grid_size=16, width=8)
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    step = make_train_step(model, tx, mesh8, donate=False)
+    points, labels, masks = pad_events(small_events[:8], 512, 8)
+    batch = (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
+    losses = []
+    for i in range(20):
+        state, metrics = step(state, batch, jnp.float32(3e-3), jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses[::4]
