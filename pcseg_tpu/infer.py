@@ -32,8 +32,11 @@ class Predictor:
         num_classes: int,
         input_dim: int = 4,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        model=None,
     ):
-        self.model = PointNetSeg(num_classes=num_classes, input_dim=input_dim)
+        self.model = model or PointNetSeg(
+            num_classes=num_classes, input_dim=input_dim
+        )
         self.variables = {
             "params": jax.tree.map(jnp.asarray, variables["params"]),
             "batch_stats": jax.tree.map(jnp.asarray, variables["batch_stats"]),
@@ -47,7 +50,11 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "Predictor":
-        """Load a framework checkpoint dir or a reference .pth file."""
+        """Load a framework checkpoint dir or a reference .pth file.
+
+        Framework checkpoints carry their config; the stored model family
+        (pointnet_seg / voxel_unet3d / sparse_voxelnet) is rebuilt from it.
+        """
         if os.path.isfile(path) and path.endswith(".pth"):
             variables, meta = load_best_model_pth(path)
             num_classes = int(meta["num_classes"])  # pcs.py:402
@@ -58,6 +65,15 @@ class Predictor:
                 "batch_stats": raw["batch_stats"],
             }
             num_classes = int(meta["num_classes"])
+            model_cfg = (meta.get("config") or {}).get("model")
+            if model_cfg and "model" not in kw:
+                from pcseg_tpu.core.config import ModelConfig
+                from pcseg_tpu.models.factory import build_model
+
+                kw = dict(kw)
+                kw["model"] = build_model(
+                    ModelConfig(**model_cfg), num_classes
+                )
         return cls(variables, num_classes, **kw)
 
     def logits(self, points: np.ndarray) -> np.ndarray:

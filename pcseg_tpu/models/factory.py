@@ -1,0 +1,39 @@
+"""Model factory: config -> model instance (all families share the same
+init/apply duck-type, so every downstream component is family-agnostic)."""
+
+from __future__ import annotations
+
+from pcseg_tpu.core.config import ModelConfig
+from pcseg_tpu.models.pointnet import PointNetSeg
+from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+FAMILIES = ("pointnet_seg", "voxel_unet3d", "sparse_voxelnet")
+
+
+def build_model(cfg: ModelConfig, num_classes: int):
+    if cfg.name == "pointnet_seg":
+        return PointNetSeg(
+            num_classes=num_classes,
+            input_dim=cfg.input_dim,
+            dropout=cfg.dropout,
+            mask_norm_and_pool=cfg.mask_norm_and_pool,
+            compute_dtype=cfg.compute_dtype,
+        )
+    if cfg.name == "voxel_unet3d":
+        return VoxelUNet3d(
+            num_classes=num_classes,
+            input_dim=cfg.input_dim,
+            grid_size=cfg.grid_size,
+            width=cfg.unet_width,
+            compute_dtype=cfg.compute_dtype,
+        )
+    if cfg.name == "sparse_voxelnet":
+        return SparseVoxelNet(
+            num_classes=num_classes,
+            input_dim=cfg.input_dim,
+            grid_size=cfg.grid_size,
+            width=cfg.unet_width,
+            compute_dtype=cfg.compute_dtype,
+        )
+    raise ValueError(f"unknown model family {cfg.name!r}; options: {FAMILIES}")

@@ -1,0 +1,113 @@
+"""SparseVoxelNet — submanifold sparse conv segmentation over occupied
+voxels.
+
+North-star sparse path (BASELINE.json): LiDAR/LArTPC-like events occupy a
+tiny fraction of the R^3 grid, so dense 3D convs waste nearly all their
+FLOPs on empty space. This model voxelizes, extracts active sites (static
+capacity), runs a stack of submanifold sparse conv blocks (ops/sparse.py)
+that never leave the occupied set, classifies per site, and reads per-point
+logits back out through the site lookup.
+
+Same init/apply duck-type as PointNetSeg / VoxelUNet3d — one train/eval
+step implementation drives all three model families.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.ops.sparse import (
+    SparseVoxels,
+    gather_point_logits,
+    site_layer_norm,
+    site_layer_norm_init,
+    sparse_from_grid,
+    subm_conv,
+    subm_conv_init,
+)
+from pcseg_tpu.ops.voxel import voxelize
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseVoxelNet:
+    num_classes: int
+    input_dim: int = 4
+    grid_size: int = 64
+    width: int = 32
+    depth: int = 4              # submanifold conv blocks
+    max_active: int = 8192      # static active-site capacity per event
+    compute_dtype: str = "float32"
+    # duck-type compatibility knobs (unused)
+    dropout: float = 0.0
+    mask_norm_and_pool: bool = True
+
+    @property
+    def in_channels(self) -> int:
+        return self.input_dim - 3 + 1
+
+    def init(self, key: jax.Array) -> dict:
+        keys = iter(jax.random.split(key, 2 * self.depth + 2))
+        p: dict = {}
+        cin = self.in_channels
+        for i in range(self.depth):
+            p[f"conv{i}"] = subm_conv_init(next(keys), cin, self.width)
+            p[f"ln{i}"] = site_layer_norm_init(self.width)
+            cin = self.width
+        p["head"] = {
+            "kernel": jax.random.uniform(
+                next(keys),
+                (self.width, self.num_classes),
+                jnp.float32,
+                -1.0 / jnp.sqrt(jnp.float32(self.width)),
+                1.0 / jnp.sqrt(jnp.float32(self.width)),
+            ),
+            "bias": jnp.zeros((self.num_classes,), jnp.float32),
+        }
+        return {"params": p, "batch_stats": {}}
+
+    def apply(
+        self,
+        variables: dict,
+        points: jax.Array,
+        *,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+        dropout_key: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ):
+        p = variables["params"]
+        dt = jnp.dtype(self.compute_dtype)
+        if mask is None:
+            mask = jnp.ones(points.shape[:2], bool)
+
+        grid = voxelize(points, mask, self.grid_size)
+        sp = sparse_from_grid(grid, self.max_active)
+
+        x = sp.feats.astype(dt)
+        for i in range(self.depth):
+            sp = sp._replace(feats=x)
+            y = subm_conv(p[f"conv{i}"], sp, compute_dtype=dt)
+            y = site_layer_norm(p[f"ln{i}"], y)
+            y = jnp.maximum(y, 0.0).astype(dt)
+            # residual after the first block (channel match)
+            x = y if i == 0 else (x + y)
+
+        site_logits = (
+            jax.lax.dot_general(
+                x.astype(dt),
+                p["head"]["kernel"].astype(dt),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + p["head"]["bias"]
+        ).astype(jnp.float32)
+
+        sp = sp._replace(feats=x)
+        logits = gather_point_logits(site_logits, sp, points, mask)
+        if train:
+            return logits, {}
+        return logits

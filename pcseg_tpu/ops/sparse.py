@@ -1,0 +1,163 @@
+"""Submanifold sparse 3D convolution on occupied voxels.
+
+North-star component (BASELINE.json: "sparse submanifold path that only
+convolves occupied voxels via gather-scatter rulebooks"); concept follows
+Graham et al., 3D Semantic Segmentation with Submanifold Sparse
+Convolutional Networks (PAPERS.md).
+
+TPU-first formulation — static shapes, no host-side rulebook build:
+- Active sites are extracted to a fixed capacity ``max_active`` per event
+  (``jnp.nonzero(size=...)``), padded with a sentinel.
+- A dense ``lookup`` table (R^3+1,) maps flat voxel id -> site index
+  (or -1), built with one scatter. This replaces the CPU hash-map
+  rulebook: the "rulebook" for kernel offset k is simply
+  ``lookup[flat(site_ijk + delta_k)]`` — a vectorized gather.
+- The convolution is gather-then-matmul per offset: output sites equal
+  input sites (submanifold), so NO scatter is needed — each site sums
+  ``W_k @ x[neighbor_k]`` over the K=27 offsets. The 27 gathered feature
+  blocks form one (K*A, Cin) x (Cin, Cout) batched matmul family that
+  tiles straight onto the MXU.
+
+Everything is per-event and vmapped over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.ops.voxel import VoxelGrid, voxel_indices
+
+
+class SparseVoxels(NamedTuple):
+    ijk: jax.Array        # (B, A, 3) int32 voxel coords of active sites
+    feats: jax.Array      # (B, A, C) site features
+    site_mask: jax.Array  # (B, A) bool — real site vs capacity padding
+    lookup: jax.Array     # (B, R^3+1) int32 flat-id -> site index, -1 empty
+    grid_size: int        # static
+
+
+def sparse_from_grid(grid: VoxelGrid, max_active: int) -> SparseVoxels:
+    """Extract occupied voxels from a dense VoxelGrid (capacity-capped).
+
+    Sites beyond ``max_active`` are dropped (log-free truncation; pick
+    capacity from the data's occupancy distribution).
+    """
+    r = grid.features.shape[1]
+    r3 = r * r * r
+    b = grid.features.shape[0]
+    flat_feats = grid.features.reshape(b, r3, -1)
+    flat_cnt = grid.counts.reshape(b, r3)
+
+    def one(cnt_e, feats_e):
+        (flat_ids,) = jnp.nonzero(cnt_e > 0, size=max_active, fill_value=r3)
+        site_mask = flat_ids < r3
+        safe = jnp.where(site_mask, flat_ids, 0)
+        feats = jnp.where(site_mask[:, None], feats_e[safe], 0.0)
+        i = safe // (r * r)
+        j = (safe // r) % r
+        k = safe % r
+        ijk = jnp.stack([i, j, k], axis=-1).astype(jnp.int32)
+        lookup = (
+            jnp.full((r3 + 1,), -1, jnp.int32)
+            .at[jnp.where(site_mask, flat_ids, r3)]
+            .set(jnp.arange(max_active, dtype=jnp.int32))
+        )
+        # sentinel slot must stay -1 (capacity padding writes land there)
+        lookup = lookup.at[r3].set(-1)
+        return ijk, feats, site_mask, lookup
+
+    ijk, feats, site_mask, lookup = jax.vmap(one)(flat_cnt, flat_feats)
+    return SparseVoxels(ijk, feats, site_mask, lookup, r)
+
+
+def _offsets(kernel: int = 3) -> jnp.ndarray:
+    """(K^3, 3) int32 neighbor deltas, center included."""
+    rng = range(-(kernel // 2), kernel // 2 + 1)
+    return jnp.asarray(
+        [[dx, dy, dz] for dx in rng for dy in rng for dz in rng], jnp.int32
+    )
+
+
+def subm_conv_init(key: jax.Array, cin: int, cout: int, kernel: int = 3) -> dict:
+    k3 = kernel ** 3
+    fan_in = k3 * cin
+    bound = jnp.sqrt(6.0 / fan_in)
+    return {
+        "kernel": jax.random.uniform(
+            key, (k3, cin, cout), jnp.float32, -bound, bound
+        ),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def subm_conv(
+    p: dict, sp: SparseVoxels, kernel: int = 3, compute_dtype=None
+) -> jax.Array:
+    """Submanifold conv: (B, A, Cin) -> (B, A, Cout) on the same sites."""
+    deltas = _offsets(kernel)                      # (K, 3)
+    r = sp.grid_size
+    r3 = r * r * r
+    dt = compute_dtype or sp.feats.dtype
+
+    def one(ijk, feats, site_mask, lookup):
+        # neighbor flat ids for every (site, offset): (K, A)
+        nijk = ijk[None, :, :] + deltas[:, None, :]
+        inb = jnp.all((nijk >= 0) & (nijk < r), axis=-1) & site_mask[None, :]
+        nflat = (nijk[..., 0] * r + nijk[..., 1]) * r + nijk[..., 2]
+        nflat = jnp.where(inb, nflat, r3)
+        nsite = lookup[nflat]                      # (K, A), -1 if empty
+        exists = nsite >= 0
+        gathered = feats[jnp.maximum(nsite, 0)]    # (K, A, Cin)
+        gathered = jnp.where(exists[..., None], gathered, 0.0)
+        # (K, A, Cin) x (K, Cin, Cout) -> sum_K (A, Cout): one batched
+        # MXU contraction
+        y = jax.lax.dot_general(
+            gathered.astype(dt),
+            p["kernel"].astype(dt),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (K, A, Cout)
+        return jnp.sum(y, axis=0) + p["bias"]
+
+    out = jax.vmap(one)(sp.ijk, sp.feats, sp.site_mask, sp.lookup)
+    return jnp.where(sp.site_mask[..., None], out, 0.0)
+
+
+def site_layer_norm_init(c: int) -> dict:
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+    }
+
+
+def site_layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Per-site LayerNorm over channels (stat-free, padding-immune)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def gather_point_logits(
+    site_values: jax.Array,
+    sp: SparseVoxels,
+    points: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Per-point readout: each point takes its voxel's site value
+    (sparse devoxelize, nearest). Points in dropped/over-capacity voxels
+    get zeros."""
+    flat, _, _ = voxel_indices(points[..., :3], mask, sp.grid_size)
+
+    def one(vals, lookup, flat_e):
+        site = lookup[flat_e]                      # (M,), -1 if no site
+        ok = site >= 0
+        out = vals[jnp.maximum(site, 0)]
+        return jnp.where(ok[:, None], out, 0.0)
+
+    out = jax.vmap(one)(site_values, sp.lookup, flat)
+    return jnp.where(mask[..., None], out, 0.0)

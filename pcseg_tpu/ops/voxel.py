@@ -32,12 +32,19 @@ class VoxelGrid(NamedTuple):
 
 
 def _event_box(coords: jax.Array, mask: jax.Array):
-    """Masked per-event AABB. coords (B, M, 3), mask (B, M)."""
+    """Masked per-event AABB. coords (B, M, 3), mask (B, M).
+
+    Fully-masked events (batch-dim padding rows) get a unit box at the
+    origin — without this, +/-inf bounds produce NaNs downstream that leak
+    through masked-out forward values into the BACKWARD pass (0 * NaN)."""
     big = jnp.asarray(3.4e38, coords.dtype)
     m = mask[..., None]
+    has_valid = jnp.any(mask, axis=1)[:, None]
     lo = jnp.min(jnp.where(m, coords, big), axis=1)
     hi = jnp.max(jnp.where(m, coords, -big), axis=1)
-    # degenerate (empty event / flat axis) -> unit box to avoid div0
+    lo = jnp.where(has_valid, lo, 0.0)
+    hi = jnp.where(has_valid, hi, 1.0)
+    # degenerate (flat axis) -> at least EPS span to avoid div0
     span = jnp.maximum(hi - lo, _EPS)
     return lo, span
 
@@ -130,6 +137,9 @@ def devoxelize_trilinear(
     coords = points[..., :3].astype(jnp.float32)
     # continuous voxel coords, centered: voxel i covers [i, i+1), center i+.5
     u = (coords - lo[:, None, :]) * scale[:, None, :] - 0.5
+    # masked points must stay finite: their forward value is zeroed below,
+    # but a NaN here would poison gradients (0 * NaN in the VJP)
+    u = jnp.where(mask[..., None], u, 0.0)
     i0 = jnp.floor(u)
     frac = u - i0
     i0 = i0.astype(jnp.int32)

@@ -150,13 +150,9 @@ def train_model(
     # --- model/optim/mesh (pcs.py:205-218)
     if mesh is None:
         mesh = make_mesh(MeshSpec(data=t_cfg.data_parallel or 0))
-    model = PointNetSeg(
-        num_classes=num_classes,
-        input_dim=m_cfg.input_dim,
-        dropout=m_cfg.dropout,
-        mask_norm_and_pool=m_cfg.mask_norm_and_pool,
-        compute_dtype=m_cfg.compute_dtype,
-    )
+    from pcseg_tpu.models.factory import build_model
+
+    model = build_model(m_cfg, num_classes)
     optimizer = make_optimizer(
         weight_decay=o_cfg.weight_decay,
         b1=o_cfg.beta1,

@@ -124,3 +124,24 @@ def test_voxel_unet_trains(mesh8, small_events):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses[::4]
+
+
+def test_devoxelize_backward_finite_with_dummy_rows(rng):
+    """Regression: fully-masked rows must not produce NaN gradients
+    (0 * NaN in the trilinear VJP poisoned params via the final short
+    batch of an epoch)."""
+    b, m, r = 2, 32, 8
+    points = np.zeros((b, m, 4), np.float32)
+    masks = np.zeros((b, m), bool)
+    points[0] = rng.uniform(0, 4, size=(m, 4)).astype(np.float32)
+    masks[0] = True  # row 1 fully masked
+    pts, msk = jnp.asarray(points), jnp.asarray(masks)
+
+    def f(g):
+        grid = voxelize(pts, msk, r)
+        out = devoxelize_trilinear(g, pts, msk, grid.lo, grid.scale)
+        return jnp.sum(out)
+
+    g = jnp.ones((b, r, r, r, 2), jnp.float32)
+    grads = jax.grad(f)(g)
+    assert np.isfinite(np.asarray(grads)).all()
