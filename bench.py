@@ -51,10 +51,7 @@ def bench_jax() -> float:
     model = PointNetSeg(num_classes=CLASSES, compute_dtype="bfloat16")
     tx = make_optimizer()
     state = create_train_state(model, jax.random.key(0), tx)
-    train_step = make_train_step(
-        model, tx, mesh,
-        class_weights=jnp.ones((CLASSES,), jnp.float32), donate=True,
-    )
+    train_step = make_train_step(model, tx, mesh, donate=True)
 
     rng = np.random.default_rng(0)
     points, labels, masks = make_batch(rng)
@@ -62,14 +59,16 @@ def bench_jax() -> float:
         mesh, (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
     )
     lr = jnp.float32(1e-3)
+    cw = jnp.ones((CLASSES,), jnp.float32)
+    keys = [jax.random.key(i) for i in range(WARMUP + ITERS)]
 
     for i in range(WARMUP):
-        state, metrics = train_step(state, batch, lr, jax.random.key(i))
+        state, metrics = train_step(state, batch, lr, keys[i], cw)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, metrics = train_step(state, batch, lr, jax.random.key(i))
+        state, metrics = train_step(state, batch, lr, keys[WARMUP + i], cw)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
     # per chip: total throughput / chips (single-chip here; DP scales batch)

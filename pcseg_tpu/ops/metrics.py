@@ -44,14 +44,25 @@ def masked_accuracy(
 def confusion_matrix(
     pred: jax.Array, labels: jax.Array, mask: jax.Array, num_classes: int
 ) -> jax.Array:
-    """(C, C) int32 matrix, rows = true class, cols = predicted class."""
-    valid = mask & (labels >= 0)
-    idx = labels * num_classes + pred
-    idx = jnp.where(valid, idx, num_classes * num_classes)  # spill bucket
-    flat = jnp.zeros((num_classes * num_classes + 1,), jnp.int32).at[
-        idx.reshape(-1)
-    ].add(1)
-    return flat[:-1].reshape(num_classes, num_classes)
+    """(C, C) int32 matrix, rows = true class, cols = predicted class.
+
+    Formulated as a one-hot contraction (one (N,C)x(N,C) matmul) rather
+    than a scatter-add: TPU scatters serialize on colliding indices, which
+    makes the naive ``.at[idx].add(1)`` the slowest op in the eval step.
+    """
+    valid = (mask & (labels >= 0)).astype(jnp.float32)
+    classes = jnp.arange(num_classes)
+    oh_true = (
+        jnp.where(mask, labels, -1).reshape(-1)[:, None] == classes
+    ).astype(jnp.float32) * valid.reshape(-1)[:, None]
+    oh_pred = (pred.reshape(-1)[:, None] == classes).astype(jnp.float32)
+    cm = jax.lax.dot_general(
+        oh_true,
+        oh_pred,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return cm.astype(jnp.int32)
 
 
 class F1Scores(NamedTuple):

@@ -67,11 +67,11 @@ def split_indices(n: int, val_fraction: float, seed: int):
     return perm[:n_train], perm[n_train:]
 
 
-def _run_epoch_train(train_step, batcher, state, lr, root, epoch, log):
+def _run_epoch_train(train_step, batcher, state, lr, cw, root, epoch, log):
     losses, correct, total = [], 0.0, 0.0
     for i, (points, labels, masks) in enumerate(batcher):
         dk = prng.purpose_key(root, "dropout", epoch * 1_000_000 + i)
-        state, metrics = train_step(state, (points, labels, masks), lr, dk)
+        state, metrics = train_step(state, (points, labels, masks), lr, dk, cw)
         losses.append(metrics["loss"])
         correct += float(metrics["correct"])
         total += float(metrics["total"])
@@ -80,11 +80,11 @@ def _run_epoch_train(train_step, batcher, state, lr, root, epoch, log):
     return state, loss, acc
 
 
-def _run_epoch_eval(eval_step, batcher, state, num_classes):
+def _run_epoch_eval(eval_step, batcher, state, num_classes, cw):
     losses, correct, total = [], 0.0, 0.0
     cm = np.zeros((num_classes, num_classes), np.int64)
     for points, labels, masks in batcher:
-        metrics = eval_step(state, (points, labels, masks))
+        metrics = eval_step(state, (points, labels, masks), cw)
         losses.append(metrics["loss"])
         correct += float(metrics["correct"])
         total += float(metrics["total"])
@@ -170,10 +170,9 @@ def train_model(
 
     cw = jnp.asarray(class_weights)
     train_step = make_train_step(
-        model, optimizer, mesh, class_weights=cw,
-        sync_batchnorm=t_cfg.sync_batchnorm,
+        model, optimizer, mesh, sync_batchnorm=t_cfg.sync_batchnorm
     )
-    eval_step = make_eval_step(model, mesh, num_classes, class_weights=cw)
+    eval_step = make_eval_step(model, mesh, num_classes)
 
     ckpt_path = os.path.join(t_cfg.checkpoint_dir, t_cfg.checkpoint_name)
 
@@ -188,10 +187,10 @@ def train_model(
         lr = step_lr(o_cfg.lr, epoch, o_cfg.lr_step_epochs, o_cfg.lr_gamma)
         t0 = time.perf_counter()
         state, train_loss, train_acc = _run_epoch_train(
-            train_step, train_batcher, state, lr, root, epoch, log
+            train_step, train_batcher, state, lr, cw, root, epoch, log
         )
         val_loss, val_acc, cm = _run_epoch_eval(
-            eval_step, val_batcher, state, num_classes
+            eval_step, val_batcher, state, num_classes, cw
         )
         f1 = f1_from_confusion(cm)
         f1_target = (

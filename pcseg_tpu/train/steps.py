@@ -30,6 +30,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pcseg_tpu.models.pointnet import PointNetSeg
+from pcseg_tpu.ops.losses import cross_entropy_sums
 from pcseg_tpu.ops.metrics import confusion_matrix, masked_accuracy
 from pcseg_tpu.parallel.mesh import DATA_AXIS
 from pcseg_tpu.train.optim import make_optimizer
@@ -62,22 +63,27 @@ def make_train_step(
     model: PointNetSeg,
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
-    class_weights: Optional[jnp.ndarray] = None,
     sync_batchnorm: bool = False,
     donate: bool = True,
 ):
     """Build the compiled train step.
 
-    Signature: ``train_step(state, batch, lr, dropout_key) ->
-    (new_state, metrics)`` where batch = (points (B,M,D), labels (B,M),
-    masks (B,M)) with B divisible by the mesh data axis, and metrics =
+    Signature: ``train_step(state, batch, lr, dropout_key, class_weights)
+    -> (new_state, metrics)`` where batch = (points (B,M,D), labels (B,M),
+    masks (B,M)) with B divisible by the mesh data axis, class_weights is
+    a (C,) f32 array (pass ones for unweighted CE), and metrics =
     {loss, correct, total} global scalars (loss = global weighted CE, the
     same number DataParallel's gathered loss produces).
+
+    ``class_weights`` is a RUN-TIME argument, not a captured constant: on
+    some PJRT runtimes a jit-closure array constant forces a pathological
+    dispatch path (~40x step cost); an explicit argument always takes the
+    fast path and costs nothing extra.
     """
     n_data = mesh.shape[DATA_AXIS]
     bn_axis = DATA_AXIS if sync_batchnorm else None
 
-    def step(state: TrainState, batch, lr, dropout_key):
+    def step(state: TrainState, batch, lr, dropout_key, class_weights):
         points, labels, masks = batch
         # Decorrelate dropout masks across replicas (DataParallel replicas
         # also draw independent masks).
@@ -97,22 +103,7 @@ def make_train_step(
             # Per-shard weighted CE as (numerator, weight-sum) so the
             # GLOBAL loss (= reference's single-device loss) is
             # psum(num)/psum(den), not a mean of shard means.
-            num_classes = logits.shape[-1]
-            valid = labels >= 0
-            safe = jnp.where(valid, labels, 0)
-            logz = jax.scipy.special.logsumexp(
-                logits.astype(jnp.float32), axis=-1
-            )
-            true_logit = jnp.take_along_axis(
-                logits.astype(jnp.float32), safe[..., None], axis=-1
-            ).squeeze(-1)
-            nll = logz - true_logit
-            if class_weights is None:
-                w = valid.astype(jnp.float32)
-            else:
-                w = jnp.where(valid, class_weights[safe], 0.0)
-            num = jnp.sum(w * nll)
-            den = jnp.sum(w)
+            num, den = cross_entropy_sums(logits, labels, class_weights)
             gnum = jax.lax.psum(num, DATA_AXIS)
             gden = jnp.maximum(
                 jax.lax.psum(den, DATA_AXIS), jnp.finfo(jnp.float32).tiny
@@ -161,7 +152,7 @@ def make_train_step(
     mapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(rep, (shd, shd, shd), rep, rep),
+        in_specs=(rep, (shd, shd, shd), rep, rep, rep),
         out_specs=(rep, rep),
         check_vma=True,
     )
@@ -173,17 +164,17 @@ def make_eval_step(
     model: PointNetSeg,
     mesh: Mesh,
     num_classes: int,
-    class_weights: Optional[jnp.ndarray] = None,
 ):
     """Build the compiled eval step.
 
-    Signature: ``eval_step(state, batch) -> metrics`` with
+    Signature: ``eval_step(state, batch, class_weights) -> metrics`` with
     {loss, correct, total, confusion (C,C)} — loss/accuracy as the
     reference's val pass (pcs.py:276-312) plus the confusion matrix that
-    replaces its third F1 sweep (pcs.py:314-346).
+    replaces its third F1 sweep (pcs.py:314-346). ``class_weights`` is a
+    runtime (C,) array for the same reason as in make_train_step.
     """
 
-    def step(state: TrainState, batch):
+    def step(state: TrainState, batch, class_weights):
         points, labels, masks = batch
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -191,22 +182,10 @@ def make_eval_step(
             train=False,
             mask=masks,
         )
-        valid = labels >= 0
-        safe = jnp.where(valid, labels, 0)
-        logz = jax.scipy.special.logsumexp(
-            logits.astype(jnp.float32), axis=-1
-        )
-        true_logit = jnp.take_along_axis(
-            logits.astype(jnp.float32), safe[..., None], axis=-1
-        ).squeeze(-1)
-        nll = logz - true_logit
-        if class_weights is None:
-            w = valid.astype(jnp.float32)
-        else:
-            w = jnp.where(valid, class_weights[safe], 0.0)
-        num = jax.lax.psum(jnp.sum(w * nll), DATA_AXIS)
+        lnum, lden = cross_entropy_sums(logits, labels, class_weights)
+        num = jax.lax.psum(lnum, DATA_AXIS)
         den = jnp.maximum(
-            jax.lax.psum(jnp.sum(w), DATA_AXIS), jnp.finfo(jnp.float32).tiny
+            jax.lax.psum(lden, DATA_AXIS), jnp.finfo(jnp.float32).tiny
         )
         correct, total = masked_accuracy(logits, labels, masks)
         pred = jnp.argmax(logits, axis=-1)
@@ -223,7 +202,7 @@ def make_eval_step(
     mapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(rep, (shd, shd, shd)),
+        in_specs=(rep, (shd, shd, shd), rep),
         out_specs=rep,
         check_vma=True,
     )

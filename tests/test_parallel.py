@@ -52,11 +52,10 @@ def test_dp8_matches_single_device(mesh8, small_events):
     for name, mesh in [("dp8", mesh8), ("dp1", mesh1)]:
         state = create_train_state(model, jax.random.key(0), tx)
         step = make_train_step(
-            model, tx, mesh, class_weights=cw, sync_batchnorm=True,
-            donate=False,
+            model, tx, mesh, sync_batchnorm=True, donate=False
         )
         new_state, metrics = step(
-            state, batch, jnp.float32(1e-3), jax.random.key(9)
+            state, batch, jnp.float32(1e-3), jax.random.key(9), cw
         )
         outs[name] = (new_state, metrics)
 
@@ -81,8 +80,9 @@ def test_eval_dp8_matches_single_device(mesh8, small_events):
     batch = _uneven_batch(small_events)
     mesh1 = make_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
 
-    e8 = make_eval_step(model, mesh8, 4)(state, batch)
-    e1 = make_eval_step(model, mesh1, 4)(state, batch)
+    ones = jnp.ones((4,), jnp.float32)
+    e8 = make_eval_step(model, mesh8, 4)(state, batch, ones)
+    e1 = make_eval_step(model, mesh1, 4)(state, batch, ones)
     np.testing.assert_allclose(float(e8["loss"]), float(e1["loss"]), rtol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(e8["confusion"]), np.asarray(e1["confusion"])
@@ -100,8 +100,9 @@ def test_sync_batchnorm_matches_global_stats(mesh8, small_events):
     s1 = create_train_state(model, jax.random.key(0), tx)
     step8 = make_train_step(model, tx, mesh8, sync_batchnorm=True, donate=False)
     step1 = make_train_step(model, tx, mesh1, sync_batchnorm=False, donate=False)
-    n8, _ = step8(s8, batch, jnp.float32(1e-3), jax.random.key(5))
-    n1, _ = step1(s1, batch, jnp.float32(1e-3), jax.random.key(5))
+    ones = jnp.ones((4,), jnp.float32)
+    n8, _ = step8(s8, batch, jnp.float32(1e-3), jax.random.key(5), ones)
+    n1, _ = step1(s1, batch, jnp.float32(1e-3), jax.random.key(5), ones)
     for a, b in zip(
         jax.tree.leaves(n8.batch_stats), jax.tree.leaves(n1.batch_stats)
     ):
@@ -124,14 +125,13 @@ def test_fully_padded_rows_are_inert_to_loss(mesh8, small_events):
     state = create_train_state(model, jax.random.key(0), tx)
     # sync-BN so statistics are layout-independent: with per-replica BN
     # the row placement itself changes local stats (as with DataParallel).
-    step = make_train_step(
-        model, tx, mesh8, class_weights=cw, sync_batchnorm=True, donate=False
-    )
+    step = make_train_step(model, tx, mesh8, sync_batchnorm=True, donate=False)
     _, m_a = step(
         state,
         (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks)),
         jnp.float32(1e-3),
         jax.random.key(0),
+        cw,
     )
     state2 = create_train_state(model, jax.random.key(0), tx)
     _, m_b = step(
@@ -139,6 +139,7 @@ def test_fully_padded_rows_are_inert_to_loss(mesh8, small_events):
         (jnp.asarray(points2), jnp.asarray(labels2), jnp.asarray(masks2)),
         jnp.float32(1e-3),
         jax.random.key(0),
+        cw,
     )
     # loss/metrics identical: padded rows carry zero loss weight
     np.testing.assert_allclose(

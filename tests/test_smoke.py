@@ -40,14 +40,15 @@ def test_train_step_runs_and_learns(mesh8, small_events):
     losses = []
     for i in range(30):
         state, metrics = train_step(
-            state, batch, jnp.float32(1e-3), jax.random.key(i)
+            state, batch, jnp.float32(1e-3), jax.random.key(i),
+            jnp.ones((4,), jnp.float32),
         )
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     # memorizing one batch must drive the loss down hard
     assert losses[-1] < losses[0] * 0.7, losses[::5]
 
-    em = eval_step(state, batch)
+    em = eval_step(state, batch, jnp.ones((4,), jnp.float32))
     assert float(em["total"]) > 0
     cm = np.asarray(em["confusion"])
     assert cm.sum() == int(em["total"])

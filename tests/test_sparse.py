@@ -126,7 +126,7 @@ def test_sparse_model_forward_and_train(mesh8, small_events):
     batch = (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
     losses = []
     for i in range(20):
-        state, metrics = step(state, batch, jnp.float32(3e-3), jax.random.key(i))
+        state, metrics = step(state, batch, jnp.float32(3e-3), jax.random.key(i), jnp.ones((4,), jnp.float32))
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses[::4]
