@@ -48,7 +48,9 @@ def bench_jax() -> float:
 
     n_dev = len(jax.devices())
     mesh = make_mesh(MeshSpec(data=n_dev))
-    model = PointNetSeg(num_classes=CLASSES, compute_dtype="bfloat16")
+    model = PointNetSeg(
+        num_classes=CLASSES, compute_dtype="bfloat16", bn_stats="fast"
+    )
     tx = make_optimizer()
     state = create_train_state(model, jax.random.key(0), tx)
     train_step = make_train_step(model, tx, mesh, donate=True)
@@ -62,14 +64,18 @@ def bench_jax() -> float:
     cw = jnp.ones((CLASSES,), jnp.float32)
     keys = [jax.random.key(i) for i in range(WARMUP + ITERS)]
 
+    # Timing note: on tunneled runtimes block_until_ready can return before
+    # device execution finishes; a VALUE TRANSFER (float()) of the last
+    # step's loss — which data-depends on the whole donated state chain —
+    # is the only reliable completion barrier.
     for i in range(WARMUP):
         state, metrics = train_step(state, batch, lr, keys[i], cw)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = train_step(state, batch, lr, keys[WARMUP + i], cw)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     # per chip: total throughput / chips (single-chip here; DP scales batch)
     return BATCH * POINTS * ITERS / dt / n_dev

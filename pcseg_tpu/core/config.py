@@ -44,6 +44,9 @@ class ModelConfig:
     # Compute dtype for matmuls ("bfloat16" for MXU speed, "float32" for
     # bit-parity testing). Params/BN stats always live in float32.
     compute_dtype: str = "float32"
+    # BN batch-variance algorithm: "exact" (two-pass, torch bit-parity)
+    # or "fast" (single-pass sumsq, ~15% faster train steps).
+    bn_stats: str = "exact"
     # If True, exclude padded positions from BN statistics and the global
     # max pool. The reference INCLUDES padding in both (pcs.py:106-127,
     # :114); default False reproduces that behavior.

@@ -19,6 +19,7 @@ def build_model(cfg: ModelConfig, num_classes: int):
             dropout=cfg.dropout,
             mask_norm_and_pool=cfg.mask_norm_and_pool,
             compute_dtype=cfg.compute_dtype,
+            bn_stats=cfg.bn_stats,
         )
     if cfg.name == "voxel_unet3d":
         return VoxelUNet3d(

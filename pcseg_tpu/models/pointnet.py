@@ -76,6 +76,10 @@ class PointNetSeg:
     dropout: float = DROPOUT_RATE
     mask_norm_and_pool: bool = False
     compute_dtype: str = "float32"
+    # "exact" = torch-bit-parity two-pass batch variance; "fast" =
+    # single-pass E[x^2]-mu^2 (~15% faster steps, ~1e-6 relative
+    # difference in normalized outputs)
+    bn_stats: str = "exact"
 
     def init(self, key: jax.Array) -> dict:
         return pointnet_init(key, self.num_classes, self.input_dim)
@@ -87,6 +91,7 @@ class PointNetSeg:
             dropout_rate=self.dropout,
             mask_norm_and_pool=self.mask_norm_and_pool,
             compute_dtype=jnp.dtype(self.compute_dtype),
+            fast_bn_stats=self.bn_stats == "fast",
             **kw,
         )
 
@@ -121,6 +126,7 @@ def pointnet_apply(
     mask_norm_and_pool: bool = False,
     axis_name: Optional[str] = None,
     compute_dtype=jnp.float32,
+    fast_bn_stats: bool = False,
 ):
     """Forward pass.
 
@@ -157,6 +163,7 @@ def pointnet_apply(
             mask=stat_mask,
             axis_name=axis_name,
             compute_dtype=compute_dtype,
+            fast_stats=fast_bn_stats,
         )
         if train:
             new_bn[bn_name] = nb
@@ -182,9 +189,9 @@ def pointnet_apply(
     def dropout(x, i):
         if not train or dropout_rate <= 0.0:
             return x
-        k = jax.random.fold_in(dropout_key, i)
-        keep = jax.random.bernoulli(k, 1.0 - dropout_rate, x.shape)
-        return jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+        from pcseg_tpu.ops.pallas.dropout import dropout as _dropout
+
+        return _dropout(x, jax.random.fold_in(dropout_key, i), dropout_rate)
 
     x = block("seg_conv1", x)
     x = dropout(x, 0)                        # pcs.py:124

