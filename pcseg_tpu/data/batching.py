@@ -41,14 +41,23 @@ def pad_events(
     max_points: int,
     batch_size: Optional[int] = None,
     feature_dim: int = 4,
+    use_native: bool = True,
 ):
     """Pad a list of ragged events to (B, max_points, ...) dense arrays.
 
     Returns (points f32 (B,M,D), labels i64 (B,M) with -1 padding,
     masks bool (B,M)) — the reference collate contract (pcs.py:63) at a
     static shape. ``batch_size`` > len(events) adds fully-masked rows.
+
+    The packing pass goes through the native C++ packer
+    (native/collate.cpp) when it is buildable; the numpy fallback is
+    byte-identical.
     """
     b = batch_size if batch_size is not None else len(events)
+    if use_native:
+        out = _pad_events_native(events, max_points, b, feature_dim)
+        if out is not None:
+            return out
     points = np.zeros((b, max_points, feature_dim), np.float32)
     labels = np.full((b, max_points), -1, np.int64)
     masks = np.zeros((b, max_points), bool)
@@ -60,6 +69,51 @@ def pad_events(
         labels[i, :n] = labs
         masks[i, :n] = True
     return points, labels, masks
+
+
+def _pad_events_native(events, max_points, batch_size, feature_dim):
+    import ctypes
+
+    from pcseg_tpu.native.build import load_native
+
+    lib = load_native()
+    if lib is None:
+        return None
+    n_points = np.asarray([e[0].shape[0] for e in events], np.int32)
+    if len(events) and (n_points > max_points).any():
+        raise ValueError(
+            f"event has {n_points.max()} points > max_points {max_points}"
+        )
+    pts_flat = (
+        np.concatenate([np.asarray(e[0], np.float32).reshape(-1) for e in events])
+        if events else np.zeros(0, np.float32)
+    )
+    lab_flat = (
+        np.concatenate([np.asarray(e[1], np.int64).reshape(-1) for e in events])
+        if events else np.zeros(0, np.int64)
+    )
+    points = np.empty((batch_size, max_points, feature_dim), np.float32)
+    labels = np.empty((batch_size, max_points), np.int64)
+    masks = np.empty((batch_size, max_points), np.uint8)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    rc = lib.pack_batch(
+        p(pts_flat, ctypes.c_float),
+        p(lab_flat, ctypes.c_int64),
+        p(n_points, ctypes.c_int32),
+        len(events),
+        batch_size,
+        max_points,
+        feature_dim,
+        p(points, ctypes.c_float),
+        p(labels, ctypes.c_int64),
+        p(masks, ctypes.c_uint8),
+    )
+    if rc != 0:
+        raise ValueError("native pack_batch failed (size mismatch)")
+    return points, labels, masks.astype(bool)
 
 
 class BucketBatcher:
@@ -121,14 +175,37 @@ class BucketBatcher:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(order)
-        if self.bucket_by_length:
-            chunks = []
-            for s in range(0, len(order), self.window):
-                win = order[s : s + self.window]
-                lens = np.array([self._length_of(i) for i in win])
-                chunks.append(win[np.argsort(lens, kind="stable")])
-            order = np.concatenate(chunks) if chunks else order
+        if self.bucket_by_length and len(order):
+            lengths = np.asarray(
+                [self._length_of(int(i)) for i in range(len(self.dataset))],
+                np.int32,
+            )
+            order = self._window_sort(order.astype(np.int64), lengths, self.window)
         return order
+
+    @staticmethod
+    def _window_sort(
+        order: np.ndarray, lengths: np.ndarray, window: int
+    ) -> np.ndarray:
+        from pcseg_tpu.native.build import load_native
+
+        lib = load_native()
+        if lib is not None:
+            import ctypes
+
+            out = np.ascontiguousarray(order, np.int64)
+            lib.bucket_sort_windows(
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(out),
+                np.int64(window),
+            )
+            return out
+        chunks = []
+        for s in range(0, len(order), window):
+            win = order[s : s + window]
+            chunks.append(win[np.argsort(lengths[win], kind="stable")])
+        return np.concatenate(chunks)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         order = self._epoch_order()

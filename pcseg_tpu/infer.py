@@ -24,7 +24,14 @@ from pcseg_tpu.models.pointnet import PointNetSeg
 
 
 class Predictor:
-    """Eval-mode PointNetSeg bound to loaded weights."""
+    """Eval-mode model bound to loaded weights.
+
+    For PointNetSeg, serving uses the BN-folded forward
+    (``fold=True`` default): eval BN collapses into the matmuls
+    (ops/fold.py), halving per-layer HBM passes. Default dtype float32 keeps
+    folded logits within ~1e-5 of the unfolded path; dtype="bfloat16" is
+    the fast serving mode; ``fold=False`` gives the exact eval path.
+    """
 
     def __init__(
         self,
@@ -33,6 +40,8 @@ class Predictor:
         input_dim: int = 4,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         model=None,
+        fold: bool = True,
+        dtype: str = "float32",
     ):
         self.model = model or PointNetSeg(
             num_classes=num_classes, input_dim=input_dim
@@ -44,9 +53,21 @@ class Predictor:
         self.num_classes = num_classes
         self.input_dim = input_dim
         self.buckets = tuple(sorted(buckets))
-        self._forward = jax.jit(
-            lambda v, p: self.model.apply(v, p, train=False)
-        )
+        if fold and isinstance(self.model, PointNetSeg):
+            from pcseg_tpu.models.pointnet import pointnet_apply_folded
+            from pcseg_tpu.ops.fold import fold_pointnet
+
+            folded = fold_pointnet(self.variables)
+            self._forward = jax.jit(
+                lambda v, p: pointnet_apply_folded(
+                    v, p, compute_dtype=jnp.dtype(dtype)
+                )
+            )
+            self.variables = folded
+        else:
+            self._forward = jax.jit(
+                lambda v, p: self.model.apply(v, p, train=False)
+            )
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "Predictor":

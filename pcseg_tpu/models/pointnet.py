@@ -205,3 +205,33 @@ def pointnet_apply(
     if train:
         return logits, new_bn
     return logits
+
+
+def pointnet_apply_folded(
+    folded: dict,
+    points: jax.Array,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Serving forward on BN-folded params (ops/fold.py): a pure
+    matmul+ReLU chain — one fused kernel per layer, no normalize passes.
+    Numerically identical to ``pointnet_apply(train=False)`` up to float
+    reassociation."""
+
+    def layer(name, x, relu=True):
+        y = pointwise_dense(folded[name], x, compute_dtype)
+        return jnp.maximum(y, 0.0).astype(compute_dtype) if relu else y
+
+    x = points.astype(compute_dtype)
+    x = layer("conv1", x)
+    point_feat = layer("conv2", x)
+    x = layer("conv3", point_feat)
+    x = layer("conv4", x)
+    x = layer("conv5", x)
+    g = layer("global_feat", x)
+    g = jnp.max(g, axis=1)
+    g = jnp.broadcast_to(g[:, None, :], x.shape[:2] + (g.shape[-1],))
+    x = jnp.concatenate([point_feat, g.astype(compute_dtype)], axis=-1)
+    x = layer("seg_conv1", x)
+    x = layer("seg_conv2", x)
+    x = layer("seg_conv3", x)
+    return layer("seg_conv4", x, relu=False).astype(jnp.float32)

@@ -32,6 +32,7 @@ from pcseg_tpu.core.config import Config
 from pcseg_tpu.core import prng
 from pcseg_tpu.ckpt.checkpoint import save_checkpoint, load_checkpoint
 from pcseg_tpu.data.batching import BucketBatcher
+from pcseg_tpu.data.prefetch import prefetch
 from pcseg_tpu.data.class_stats import scan_classes, ClassStats
 from pcseg_tpu.models.pointnet import PointNetSeg
 from pcseg_tpu.ops.metrics import f1_from_confusion
@@ -180,6 +181,18 @@ def train_model(
     )
     eval_step = make_eval_step(model, mesh, num_classes)
 
+    # Background prefetch threads keep `prefetch_depth` batches read,
+    # packed, and device_put ahead of the compute stream (replaces the
+    # reference's 32 DataLoader worker processes, pcs.py:199-201).
+    if d_cfg.prefetch_depth > 0:
+        from pcseg_tpu.parallel.mesh import shard_batch
+
+        place = lambda b: shard_batch(mesh, b)  # noqa: E731
+        train_iter = prefetch(train_batcher, d_cfg.prefetch_depth, place)
+        val_iter = prefetch(val_batcher, d_cfg.prefetch_depth, place)
+    else:
+        train_iter, val_iter = train_batcher, val_batcher
+
     ckpt_path = os.path.join(t_cfg.checkpoint_dir, t_cfg.checkpoint_name)
 
     # --- epoch loop (pcs.py:220-396)
@@ -193,10 +206,10 @@ def train_model(
         lr = step_lr(o_cfg.lr, epoch, o_cfg.lr_step_epochs, o_cfg.lr_gamma)
         t0 = time.perf_counter()
         state, train_loss, train_acc = _run_epoch_train(
-            train_step, train_batcher, state, lr, cw, root, epoch, log
+            train_step, train_iter, state, lr, cw, root, epoch, log
         )
         val_loss, val_acc, cm = _run_epoch_eval(
-            eval_step, val_batcher, state, num_classes, cw
+            eval_step, val_iter, state, num_classes, cw
         )
         f1 = f1_from_confusion(cm)
         f1_target = (

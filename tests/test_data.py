@@ -107,3 +107,24 @@ def test_synthetic_events_schema():
         assert pts.dtype == np.float32 and pts.shape[1] == 4
         assert labs.dtype == np.int64 and labs.shape == (pts.shape[0],)
         assert labs.min() >= 0 and labs.max() < 4
+
+
+def test_prefetcher_yields_all_and_reiterates(small_events):
+    from pcseg_tpu.data.prefetch import prefetch
+
+    batcher = BucketBatcher(small_events, batch_size=8, buckets=(512,))
+    pf = prefetch(batcher, depth=2)
+    n1 = sum(1 for _ in pf)
+    n2 = sum(1 for _ in pf)  # second epoch works (fresh thread)
+    assert n1 == n2 == len(batcher)
+
+
+def test_prefetcher_propagates_errors():
+    from pcseg_tpu.data.prefetch import prefetch
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(prefetch(bad(), depth=1))

@@ -248,3 +248,24 @@ def test_fast_bn_stats_close_to_exact(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
         )
+
+
+def test_folded_forward_matches_eval(rng):
+    """BN-folded serving forward == eval-mode forward (f32)."""
+    from pcseg_tpu.models.pointnet import pointnet_apply_folded
+    from pcseg_tpu.ops.fold import fold_pointnet
+
+    model = PointNetSeg(num_classes=4)
+    variables = model.init(jax.random.key(5))
+    variables["batch_stats"] = jax.tree.map(
+        lambda x: x + 0.05 * jnp.arange(x.shape[0], dtype=x.dtype) / x.shape[0],
+        variables["batch_stats"],
+    )
+    points, _, _ = _rand_batch(rng)
+    ref = model.apply(variables, jnp.asarray(points), train=False)
+    folded = fold_pointnet(variables)
+    got = pointnet_apply_folded(folded, jnp.asarray(points),
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4
+    )
