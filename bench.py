@@ -49,7 +49,7 @@ def bench_jax() -> float:
     n_dev = len(jax.devices())
     mesh = make_mesh(MeshSpec(data=n_dev))
     model = PointNetSeg(
-        num_classes=CLASSES, compute_dtype="bfloat16", bn_stats="fast"
+        num_classes=CLASSES, compute_dtype="bfloat16", bn_stats="fused"
     )
     tx = make_optimizer()
     state = create_train_state(model, jax.random.key(0), tx)

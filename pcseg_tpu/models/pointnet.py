@@ -85,13 +85,29 @@ class PointNetSeg:
         return pointnet_init(key, self.num_classes, self.input_dim)
 
     def apply(self, variables, points, **kw):
+        if (
+            self.bn_stats == "fused"
+            and kw.get("train")
+            and jax.default_backend() == "tpu"
+            and kw.get("axis_name") is None
+        ):
+            # whole-chain fused Pallas path (models/pointnet_fused.py);
+            # stats include any dummy rows (mask ignored for statistics)
+            from pcseg_tpu.models.pointnet_fused import pointnet_apply_fused
+
+            return pointnet_apply_fused(
+                variables,
+                points,
+                dropout_key=kw.get("dropout_key"),
+                dropout_rate=self.dropout,
+            )
         return pointnet_apply(
             variables,
             points,
             dropout_rate=self.dropout,
             mask_norm_and_pool=self.mask_norm_and_pool,
             compute_dtype=jnp.dtype(self.compute_dtype),
-            fast_bn_stats=self.bn_stats == "fast",
+            fast_bn_stats=self.bn_stats in ("fast", "fused"),
             **kw,
         )
 

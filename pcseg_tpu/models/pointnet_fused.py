@@ -1,0 +1,202 @@
+"""PointNetSeg training forward on fused Pallas blocks.
+
+Drives ops/pallas/fused_block.fused_block across the whole shared-MLP
+chain: each layer is ONE kernel ([normalize prev -> ReLU -> dropout ->
+matmul -> stats epilogue]) instead of XLA's separate matmul / reduction /
+normalize / dropout passes, and the head's (N, 1088) concat is never
+materialized (seg1 = point_feat-branch matmul + per-batch-row bias from
+the tiny g @ W_bottom product).
+
+Semantics = the reference model in "fast BN" mode:
+- batch statistics include padded positions (reference behavior,
+  pcs.py:53/:106-127) AND any all-masked dummy rows (deviation: only
+  affects short final batches; the XLA path excludes dummy rows);
+- variance via single-pass E[x^2]-mu^2 in f32;
+- inter-layer activations are bf16 (raw pre-norm values), stats f32.
+
+Selected with ``PointNetSeg(bn_stats="fused")`` for train-mode apply on
+TPU; eval/CPU fall back to the XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.ops.batchnorm import EPS, MOMENTUM
+from pcseg_tpu.ops.pallas.fused_block import fused_block
+
+# chain order: (conv name, bn-of-INPUT name or None)
+_ENCODER_CHAIN = [
+    ("conv1", None),           # raw points in
+    ("conv2", "bn1"),
+    ("conv3", "bn2"),
+    ("conv4", "bn3"),
+    ("conv5", "bn4"),
+    ("global_feat", "bn5"),
+]
+
+
+def _pick_tile(
+    n: int,
+    rows_per_batch: Optional[int] = None,
+    cin: int = 0,
+    cout: int = 0,
+) -> int:
+    """Largest row tile that (a) divides n (and rows_per_batch when the
+    row-bias trick is in play) and (b) keeps the backward kernel's
+    double-buffered tiles (x, dx, y, dy ~= 12 bytes/channel/row) plus the
+    resident W/dW under the VMEM budget."""
+    budget = 5 * 1024 * 1024
+    per_row = max(1, (cin + cout) * 12)
+    cap = max(64, budget // per_row)
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if t > cap:
+            continue
+        if n % t == 0 and (rows_per_batch is None or rows_per_batch % t == 0):
+            return t
+    return 8
+
+
+def _stats_to_norm(s1, s2, n):
+    """Column sums -> (mu, inv, biased var); differentiable glue."""
+    mu = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + EPS)
+    return mu, inv, var
+
+
+def pointnet_apply_fused(
+    variables: dict,
+    points: jax.Array,
+    *,
+    dropout_key: Optional[jax.Array],
+    dropout_rate: float,
+    act_dtype=jnp.bfloat16,
+    weight_dtype=jnp.bfloat16,
+):
+    """Training forward; returns (logits f32, new_batch_stats).
+
+    Gradients flow through every fused block via its custom VJP; the
+    mu/inv glue between blocks is plain XLA, so the batch-statistics
+    gradient path is handled by autodiff.
+    """
+    params = variables["params"]
+    bn = variables["batch_stats"]
+    b_, m_, d_ = points.shape
+    n = b_ * m_
+    nf = jnp.float32(n)
+
+    if dropout_rate > 0.0:
+        seeds = jax.random.bits(dropout_key, (2,), jnp.uint32).astype(jnp.int32)
+        seed0, seed1 = seeds[0:1], seeds[1:2]
+    else:
+        seed0 = seed1 = jnp.zeros((1,), jnp.int32)
+
+    x = points.reshape(n, d_).astype(act_dtype)
+
+    new_bn = {}
+
+    def update_running(bn_name, s1, s2):
+        mu = s1 / nf
+        var_b = jnp.maximum(s2 / nf - jnp.square(mu), 0.0)
+        unbiased = var_b * (nf / jnp.maximum(nf - 1.0, 1.0))
+        st = bn[bn_name]
+        new_bn[bn_name] = {
+            "mean": (1.0 - MOMENTUM) * st["mean"] + MOMENTUM * mu,
+            "var": (1.0 - MOMENTUM) * st["var"] + MOMENTUM * unbiased,
+        }
+
+    # --- encoder chain
+    stats = None
+    saved = {}
+    h = x
+    for conv, bn_in in _ENCODER_CHAIN:
+        if bn_in is None:
+            mu = inv = gamma = beta = None
+        else:
+            mu, inv, _ = _stats_to_norm(*stats, nf)
+            gamma, beta = params[bn_in]["scale"], params[bn_in]["bias"]
+        cin, cout = params[conv]["kernel"].shape
+        y, s1, s2 = fused_block(
+            h, mu, inv, gamma, beta,
+            params[conv]["kernel"].astype(weight_dtype),
+            params[conv]["bias"],
+            None, seed0,
+            bn_in is not None,   # prologue relu; conv1 sees raw points
+            0.0, True, 0, _pick_tile(n, None, cin, cout), act_dtype,
+        )
+        update_running(
+            {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
+             "conv4": "bn4", "conv5": "bn5", "global_feat": "bn_global"}[conv],
+            s1, s2,
+        )
+        saved[conv] = (h, stats)
+        h, stats = y, (s1, s2)
+
+    # --- global pool (XLA glue): normalize+relu the global_feat output,
+    # max over the point axis (includes padding — pcs.py:114)
+    mu_g, inv_g, _ = _stats_to_norm(*stats, nf)
+    yg = h.astype(jnp.float32)
+    zg = jnp.maximum(
+        (yg - mu_g) * inv_g * params["bn_global"]["scale"]
+        + params["bn_global"]["bias"],
+        0.0,
+    )
+    g = jnp.max(zg.reshape(b_, m_, -1), axis=1)          # (B, 1024)
+
+    # --- head; seg1 via the split-matmul trick
+    w_seg1 = params["seg_conv1"]["kernel"]               # (1088, 512)
+    w_top, w_bot = w_seg1[:64], w_seg1[64:]
+    gbias = g.astype(weight_dtype) @ w_bot.astype(weight_dtype)  # (B, 512)
+    gbias = gbias.astype(jnp.float32)
+
+    # conv3's saved input pair IS conv2's raw output + its stats — exactly
+    # what seg1's prologue needs to regenerate point_feat (pcs.py:107/120)
+    y2, stats2 = saved["conv3"]
+    mu2, inv2, _ = _stats_to_norm(*stats2, nf)
+
+    y_s1, s1_1, s2_1 = fused_block(
+        y2, mu2, inv2, params["bn2"]["scale"], params["bn2"]["bias"],
+        w_top.astype(weight_dtype), params["seg_conv1"]["bias"],
+        gbias, seed0,
+        True, 0.0, True, m_, _pick_tile(n, m_, 64, 512), act_dtype,
+    )
+    update_running("bn_seg1", s1_1, s2_1)
+
+    mu_s1, inv_s1, _ = _stats_to_norm(s1_1, s2_1, nf)
+    y_s2, s1_2, s2_2 = fused_block(
+        y_s1, mu_s1, inv_s1,
+        params["bn_seg1"]["scale"], params["bn_seg1"]["bias"],
+        params["seg_conv2"]["kernel"].astype(weight_dtype),
+        params["seg_conv2"]["bias"],
+        None, seed0,
+        True, dropout_rate, True, 0, _pick_tile(n, None, 512, 256), act_dtype,
+    )
+    update_running("bn_seg2", s1_2, s2_2)
+
+    mu_s2, inv_s2, _ = _stats_to_norm(s1_2, s2_2, nf)
+    y_s3, s1_3, s2_3 = fused_block(
+        y_s2, mu_s2, inv_s2,
+        params["bn_seg2"]["scale"], params["bn_seg2"]["bias"],
+        params["seg_conv3"]["kernel"].astype(weight_dtype),
+        params["seg_conv3"]["bias"],
+        None, seed1,
+        True, dropout_rate, True, 0, _pick_tile(n, None, 256, 128), act_dtype,
+    )
+    update_running("bn_seg3", s1_3, s2_3)
+
+    mu_s3, inv_s3, _ = _stats_to_norm(s1_3, s2_3, nf)
+    logits, _, _ = fused_block(
+        y_s3, mu_s3, inv_s3,
+        params["bn_seg3"]["scale"], params["bn_seg3"]["bias"],
+        params["seg_conv4"]["kernel"].astype(weight_dtype),
+        params["seg_conv4"]["bias"],
+        None, seed0,
+        True, 0.0, False, 0,
+        _pick_tile(n, None, 128, params["seg_conv4"]["kernel"].shape[1]),
+        jnp.float32,
+    )
+    return logits.reshape(b_, m_, -1), new_bn

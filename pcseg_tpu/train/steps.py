@@ -119,6 +119,18 @@ def make_train_step(
         (loss, (logits, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        # Exception: gradients that flowed through an opaque custom-VJP
+        # (the fused Pallas blocks) come back as per-shard partials typed
+        # varying-over-data; psum exactly those. Replicated leaves (the
+        # plain XLA path) pass through untouched.
+        grads = jax.tree.map(
+            lambda g: (
+                jax.lax.psum(g, DATA_AXIS)
+                if DATA_AXIS in getattr(jax.typeof(g), "vma", frozenset())
+                else g
+            ),
+            grads,
+        )
 
         updates, new_opt = optimizer.update(
             grads, state.opt_state, state.params
