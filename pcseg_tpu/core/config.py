@@ -83,7 +83,9 @@ class TrainConfig:
     # cross-replica synced BN batch statistics.
     sync_batchnorm: bool = False
     debug_nans: bool = False
-    profile_dir: str = ""         # non-empty => jax.profiler traces
+    profile_dir: str = ""         # non-empty => jax.profiler trace of epoch 0
+    metrics_log: str = ""         # non-empty => JSONL per-epoch metrics
+    tensorboard_dir: str = ""     # non-empty => TensorBoard scalars
 
 
 @dataclass

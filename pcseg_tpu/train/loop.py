@@ -19,6 +19,7 @@ TPU-native differences: one compiled step per bucket shape, async dispatch
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -195,6 +196,12 @@ def train_model(
 
     ckpt_path = os.path.join(t_cfg.checkpoint_dir, t_cfg.checkpoint_name)
 
+    from pcseg_tpu.utils.observe import MetricsLogger, profile_trace
+
+    metrics_logger = MetricsLogger(
+        t_cfg.metrics_log or None, t_cfg.tensorboard_dir
+    )
+
     # --- epoch loop (pcs.py:220-396)
     best_f1_target = 0.0
     best_val_loss = float("inf")
@@ -205,9 +212,15 @@ def train_model(
     for epoch in range(start_epoch, t_cfg.num_epochs):
         lr = step_lr(o_cfg.lr, epoch, o_cfg.lr_step_epochs, o_cfg.lr_gamma)
         t0 = time.perf_counter()
-        state, train_loss, train_acc = _run_epoch_train(
-            train_step, train_iter, state, lr, cw, root, epoch, log
+        trace_ctx = (
+            profile_trace(t_cfg.profile_dir)
+            if t_cfg.profile_dir and epoch == start_epoch
+            else contextlib.nullcontext()
         )
+        with trace_ctx:
+            state, train_loss, train_acc = _run_epoch_train(
+                train_step, train_iter, state, lr, cw, root, epoch, log
+            )
         val_loss, val_acc, cm = _run_epoch_eval(
             eval_step, val_iter, state, num_classes, cw
         )
@@ -233,6 +246,7 @@ def train_model(
             "seconds": dt,
         }
         history.append(record)
+        metrics_logger.log(epoch, record)
         log(
             f"epoch {epoch + 1}/{t_cfg.num_epochs}: "
             f"train {train_loss:.4f}/{train_acc:.2f}% "
@@ -273,6 +287,7 @@ def train_model(
                 log("early stopping")
                 break
 
+    metrics_logger.close()
     return TrainResult(
         state=state,
         model=model,
