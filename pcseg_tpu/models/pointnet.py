@@ -90,6 +90,7 @@ class PointNetSeg:
             and kw.get("train")
             and jax.default_backend() == "tpu"
             and kw.get("axis_name") is None
+            and kw.get("point_axis_name") is None
         ):
             # whole-chain fused Pallas path (models/pointnet_fused.py);
             # stats include any dummy rows (mask ignored for statistics)
@@ -141,6 +142,7 @@ def pointnet_apply(
     dropout_rate: float = DROPOUT_RATE,
     mask_norm_and_pool: bool = False,
     axis_name: Optional[str] = None,
+    point_axis_name: Optional[str] = None,
     compute_dtype=jnp.float32,
     fast_bn_stats: bool = False,
 ):
@@ -149,7 +151,20 @@ def pointnet_apply(
     points: (B, M, input_dim). Returns logits (B, M, num_classes) f32;
     when ``train=True``, returns ``(logits, new_batch_stats)``.
     Reference dataflow: pcs.py:98-133.
+
+    ``point_axis_name``: mesh axis the POINT dimension is sharded over
+    (sequence-parallel analog for huge events): BN statistics psum across
+    it and the global max pool pmax-combines — numerics identical to the
+    unsharded forward.
     """
+    if point_axis_name is not None:
+        # BN stats must pool over every point shard (and any batch axis
+        # already requested via axis_name)
+        axis_name = (
+            point_axis_name
+            if axis_name is None
+            else (axis_name, point_axis_name)
+        )
     params = variables["params"]
     bn = variables["batch_stats"]
     new_bn = {}
@@ -162,6 +177,12 @@ def pointnet_apply(
         # batch-dim padding for short final batches, which the reference
         # never has) must not pollute the statistics.
         rows = jnp.any(mask, axis=1)
+        if point_axis_name is not None:
+            # row validity is a GLOBAL property: a row whose local point
+            # shard is all padding may still be real on other shards
+            rows = (
+                jax.lax.psum(rows.astype(jnp.float32), point_axis_name) > 0
+            )
         stat_mask = jnp.broadcast_to(rows[:, None], mask.shape)
         pool_mask = None       # pool over all M positions (pcs.py:114)
     else:
@@ -193,7 +214,9 @@ def pointnet_apply(
     x = block("conv5", x)
 
     g = block("global_feat", x)             # pcs.py:113
-    g = global_max_pool(g, mask=pool_mask)  # (B, 1024) — pcs.py:114
+    g = global_max_pool(
+        g, mask=pool_mask, point_axis_name=point_axis_name
+    )                                        # (B, 1024) — pcs.py:114
     g = jnp.broadcast_to(
         g[:, None, :], (x.shape[0], x.shape[1], g.shape[-1])
     )                                        # pcs.py:117

@@ -35,6 +35,18 @@ EPS = 1e-5
 MOMENTUM = 0.1
 
 
+def _psum(v: jax.Array, axes) -> jax.Array:
+    """psum that first pvary-promotes ``v`` over any requested axis it is
+    not yet varying on (VMA typing requires exact axis states)."""
+    axes_t = (axes,) if isinstance(axes, str) else tuple(axes)
+    vma = getattr(jax.typeof(v), "vma", None)
+    if vma is not None:
+        missing = tuple(a for a in axes_t if a not in vma)
+        if missing:
+            v = jax.lax.pvary(v, missing)
+    return jax.lax.psum(v, axes_t)
+
+
 def bn_param_init(num_features: int) -> dict:
     """Trainable affine params (torch: weight=1, bias=0)."""
     return {
@@ -113,11 +125,11 @@ def batchnorm_train(
             if mask is not None
             else jnp.ones(xf.shape[:2] + (1,), xf.dtype)
         )
-        n = jax.lax.psum(jnp.sum(m), axis_name)
+        n = _psum(jnp.sum(m), axis_name)
         n = jnp.maximum(n, 1.0)
-        mean = jax.lax.psum(jnp.sum(xf * m, axis=(0, 1)), axis_name) / n
+        mean = _psum(jnp.sum(xf * m, axis=(0, 1)), axis_name) / n
         var = (
-            jax.lax.psum(
+            _psum(
                 jnp.sum(jnp.square(xf - mean) * m, axis=(0, 1)), axis_name
             )
             / n

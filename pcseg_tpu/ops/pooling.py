@@ -17,10 +17,20 @@ import jax.numpy as jnp
 
 
 def global_max_pool(
-    x: jax.Array, mask: Optional[jax.Array] = None
+    x: jax.Array,
+    mask: Optional[jax.Array] = None,
+    point_axis_name: Optional[str] = None,
 ) -> jax.Array:
-    """(B, M, C) -> (B, C) max over points; optionally only valid points."""
+    """(B, M, C) -> (B, C) max over points; optionally only valid points.
+
+    ``point_axis_name``: when the point axis is sharded across a mesh axis
+    (the sequence-parallel analog for huge events, SURVEY.md §5), the local
+    max is pmax-combined across shards over ICI.
+    """
     if mask is not None:
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, x.dtype)
         x = jnp.where(mask[..., None], x, neg)
-    return jnp.max(x, axis=1)
+    out = jnp.max(x, axis=1)
+    if point_axis_name is not None:
+        out = jax.lax.pmax(out, point_axis_name)
+    return out
