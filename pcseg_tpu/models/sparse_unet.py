@@ -27,9 +27,10 @@ from pcseg_tpu.ops.sparse import (
     site_layer_norm_init,
     sparse_from_grid,
     subm_conv,
+    subm_conv_dense,
     subm_conv_init,
 )
-from pcseg_tpu.ops.voxel import voxelize
+from pcseg_tpu.ops.voxel import devoxelize_nearest, voxelize
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +42,10 @@ class SparseVoxelNet:
     depth: int = 4              # submanifold conv blocks
     max_active: int = 8192      # static active-site capacity per event
     compute_dtype: str = "float32"
+    # "dense": submanifold semantics via occupancy-masked dense conv3d —
+    # 2x faster on TPU at LArTPC occupancies (per-row gathers serialize;
+    # BASELINE.md). "gather": the classic rulebook gather formulation.
+    impl: str = "dense"
     # duck-type compatibility knobs (unused)
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -85,6 +90,9 @@ class SparseVoxelNet:
             mask = jnp.ones(points.shape[:2], bool)
 
         grid = voxelize(points, mask, self.grid_size)
+        if self.impl == "dense":
+            logits = self._apply_dense(p, grid, points, mask, dt)
+            return (logits, {}) if train else logits
         sp = sparse_from_grid(grid, self.max_active)
 
         x = sp.feats.astype(dt)
@@ -111,3 +119,31 @@ class SparseVoxelNet:
         if train:
             return logits, {}
         return logits
+
+    def _apply_dense(self, p, grid, points, mask, dt):
+        """Masked-dense submanifold path (same params as the gather path)."""
+        active = grid.counts > 0
+        x = grid.features.astype(dt)
+        for i in range(self.depth):
+            y = subm_conv_dense(p[f"conv{i}"], x, active, compute_dtype=dt)
+            ln = p[f"ln{i}"]
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+            y = (yf - mean) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
+            y = jnp.where(active[..., None], jnp.maximum(y, 0.0), 0.0)
+            y = y.astype(dt)
+            x = y if i == 0 else (x + y)
+
+        voxel_logits = (
+            jax.lax.dot_general(
+                x.astype(dt),
+                p["head"]["kernel"].astype(dt),
+                dimension_numbers=(((4,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + p["head"]["bias"]
+        ).astype(jnp.float32)
+        return devoxelize_nearest(
+            voxel_logits, points, mask, grid.lo, grid.scale
+        )

@@ -126,6 +126,37 @@ def subm_conv(
     return jnp.where(sp.site_mask[..., None], out, 0.0)
 
 
+def subm_conv_dense(
+    p: dict, grid_feats: jax.Array, active: jax.Array, compute_dtype=None
+) -> jax.Array:
+    """Submanifold conv via masked DENSE conv3d.
+
+    grid_feats: (B, R, R, R, C) with zeros at empty voxels; active:
+    (B, R, R, R) bool occupancy. Outputs are masked back to the active
+    set, so stacked layers never grow the occupied set — identical values
+    at active sites to the gather formulation (``subm_conv``).
+
+    Why it exists: on TPU, per-row gathers serialize — measured 31.6 ms
+    for the 27-offset gather at A=8192 sites vs 14.3 ms for the whole
+    dense conv at R=64 (BASELINE.md). Random access loses to dense MXU
+    work at LArTPC-like occupancies; the gather path remains for
+    accelerators/occupancies where it wins.
+    """
+    dt = compute_dtype or grid_feats.dtype
+    k3, cin, cout = p["kernel"].shape
+    k = round(k3 ** (1 / 3))
+    kern = p["kernel"].reshape(k, k, k, cin, cout)
+    y = jax.lax.conv_general_dilated(
+        grid_feats.astype(dt),
+        kern.astype(dt),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ) + p["bias"]
+    return jnp.where(active[..., None], y, 0.0)
+
+
 def site_layer_norm_init(c: int) -> dict:
     return {
         "scale": jnp.ones((c,), jnp.float32),

@@ -130,3 +130,19 @@ def test_sparse_model_forward_and_train(mesh8, small_events):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses[::4]
+
+
+def test_dense_impl_matches_gather_impl(rng, small_events):
+    """Masked-dense submanifold path == rulebook gather path (same params)."""
+    import dataclasses
+
+    points, labels, masks = pad_events(small_events[:4], 512, 4)
+    mg = SparseVoxelNet(num_classes=4, grid_size=16, width=16, depth=3,
+                        max_active=2048, impl="gather")
+    md = dataclasses.replace(mg, impl="dense")
+    v = mg.init(jax.random.key(2))
+    lg = mg.apply(v, jnp.asarray(points), train=False, mask=jnp.asarray(masks))
+    ld = md.apply(v, jnp.asarray(points), train=False, mask=jnp.asarray(masks))
+    np.testing.assert_allclose(
+        np.asarray(ld), np.asarray(lg), atol=2e-4, rtol=1e-3
+    )
