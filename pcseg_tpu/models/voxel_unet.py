@@ -44,6 +44,10 @@ class VoxelUNet3d:
     width: int = 16
     levels: int = 3
     compute_dtype: str = "float32"
+    # rematerialize the U-Net in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for dropping all intermediate
+    # grids from HBM — enables 128^3+ training configs
+    remat: bool = False
     # unused knobs kept for duck-type compatibility with PointNetSeg
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -94,7 +98,21 @@ class VoxelUNet3d:
             mask = jnp.ones(points.shape[:2], bool)
 
         grid = voxelize(points, mask, self.grid_size)
-        x = grid.features.astype(dt)
+
+        core = self._unet_core
+        if self.remat:
+            core = jax.checkpoint(core, static_argnums=())
+        voxel_logits = core(p, grid.features.astype(dt))
+
+        logits = devoxelize_trilinear(
+            voxel_logits, points, mask, grid.lo, grid.scale
+        )
+        if train:
+            return logits, {}
+        return logits
+
+    def _unet_core(self, p, x):
+        dt = jnp.dtype(self.compute_dtype)
 
         def block(name, x, stride=1, transpose=False, k_gn=None):
             conv = conv3d_transpose if transpose else conv3d
@@ -115,13 +133,4 @@ class VoxelUNet3d:
             x = jnp.concatenate([x, skips[i].astype(dt)], axis=-1)
             x = block(f"dec{i}_a", x)
             x = block(f"dec{i}_b", x)
-        voxel_logits = conv3d(p["head"], x, compute_dtype=dt).astype(
-            jnp.float32
-        )
-
-        logits = devoxelize_trilinear(
-            voxel_logits, points, mask, grid.lo, grid.scale
-        )
-        if train:
-            return logits, {}
-        return logits
+        return conv3d(p["head"], x, compute_dtype=dt).astype(jnp.float32)

@@ -31,15 +31,16 @@ def conv3d_init(key: jax.Array, k: int, cin: int, cout: int) -> dict:
 
 def conv3d(p: dict, x: jax.Array, stride: int = 1, compute_dtype=None) -> jax.Array:
     dt = compute_dtype or x.dtype
+    # no explicit f32 output type: mixed-dtype cotangents break the conv
+    # transpose under autodiff; the MXU accumulates in f32 regardless
     y = jax.lax.conv_general_dilated(
         x.astype(dt),
         p["kernel"].astype(dt),
         window_strides=(stride,) * 3,
         padding="SAME",
         dimension_numbers=DN,
-        preferred_element_type=jnp.float32,
     )
-    return y + p["bias"]
+    return y + p["bias"].astype(y.dtype)
 
 
 def conv3d_transpose(p: dict, x: jax.Array, stride: int = 2, compute_dtype=None) -> jax.Array:
@@ -50,9 +51,8 @@ def conv3d_transpose(p: dict, x: jax.Array, stride: int = 2, compute_dtype=None)
         strides=(stride,) * 3,
         padding="SAME",
         dimension_numbers=DN,
-        preferred_element_type=jnp.float32,
     )
-    return y + p["bias"]
+    return y + p["bias"].astype(y.dtype)
 
 
 def group_norm_init(c: int) -> dict:

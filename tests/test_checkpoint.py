@@ -87,3 +87,31 @@ def test_framework_checkpoint_predictor(tmp_path):
     p = Predictor.from_checkpoint(path)
     preds = p.predict(np.zeros((10, 4), np.float32))
     assert preds.shape == (10,)
+
+
+def test_resume_from_checkpoint(tmp_path, small_events):
+    """True mid-training resume (the reference saves optimizer state but
+    never loads it, pcs.py:376 vs :401-430)."""
+    from pcseg_tpu.api import ArrayDataset
+    from pcseg_tpu.core.config import Config
+    from pcseg_tpu.train.loop import train_model
+
+    cfg = Config()
+    cfg.data.batch_size = 8
+    cfg.data.buckets = (512,)
+    cfg.train.num_epochs = 2
+    cfg.train.patience = 10
+    cfg.train.checkpoint_dir = str(tmp_path)
+    ds = ArrayDataset(small_events)
+    res1 = train_model(cfg, ds, log=lambda *a: None)
+    assert res1.history[-1]["epoch"] == 1
+
+    # resume: continues at the checkpointed epoch + 1
+    cfg.train.num_epochs = 3
+    res2 = train_model(
+        cfg, ds, resume_from=res1.checkpoint_path, log=lambda *a: None
+    )
+    start = res2.history[0]["epoch"]
+    assert start >= 1  # did not restart from scratch
+    assert res2.history[-1]["epoch"] == 2
+    assert int(res2.state.step) > 0
