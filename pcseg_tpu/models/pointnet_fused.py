@@ -49,7 +49,7 @@ def _pick_tile(
     row-bias trick is in play) and (b) keeps the backward kernel's
     double-buffered tiles (x, dx, y, dy ~= 12 bytes/channel/row) plus the
     resident W/dW under the VMEM budget."""
-    budget = 5 * 1024 * 1024
+    budget = 7 * 1024 * 1024  # swept: 7MB -> 19.4 ms, 5MB -> 20.0, 3MB -> 21.4
     per_row = max(1, (cin + cout) * 12)
     cap = max(64, budget // per_row)
     for t in (512, 256, 128, 64, 32, 16, 8):
@@ -66,6 +66,34 @@ def _stats_to_norm(s1, s2, n):
     var = jnp.maximum(s2 / n - jnp.square(mu), 0.0)
     inv = jax.lax.rsqrt(var + EPS)
     return mu, inv, var
+
+
+# Minimum cin*cout to use the Pallas block instead of plain XLA ops.
+# Measured: routing the small (<=64x128) layers to XLA made the full step
+# SLOWER (21.2 vs 20.0 ms) — the extra XLA stat/normalize passes cost more
+# than the Pallas per-tile overhead — so everything stays fused. The XLA
+# block remains as documentation of the measured tradeoff and as a
+# non-Pallas fallback.
+_FUSE_MIN_FLOPS_PER_ROW = 0
+
+
+def _xla_block(h, mu, inv, gamma, beta, w, b, row_bias, relu, act_dtype,
+               rows_per_batch=0):
+    """Same op contract as fused_block, in plain XLA (autodiff'd)."""
+    xf = h.astype(jnp.float32)
+    if mu is not None:
+        xf = (xf - mu) * inv * gamma + beta
+    if relu:
+        xf = jnp.maximum(xf, 0.0)
+    a = xf.astype(w.dtype)
+    y = jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b
+    if row_bias is not None:
+        y = y + jnp.repeat(row_bias, rows_per_batch, axis=0)
+    s1 = jnp.sum(y, axis=0)
+    s2 = jnp.sum(jnp.square(y), axis=0)
+    return y.astype(act_dtype), s1, s2
 
 
 def pointnet_apply_fused(
@@ -120,14 +148,19 @@ def pointnet_apply_fused(
             mu, inv, _ = _stats_to_norm(*stats, nf)
             gamma, beta = params[bn_in]["scale"], params[bn_in]["bias"]
         cin, cout = params[conv]["kernel"].shape
-        y, s1, s2 = fused_block(
-            h, mu, inv, gamma, beta,
-            params[conv]["kernel"].astype(weight_dtype),
-            params[conv]["bias"],
-            None, seed0,
-            bn_in is not None,   # prologue relu; conv1 sees raw points
-            0.0, True, 0, _pick_tile(n, None, cin, cout), act_dtype,
-        )
+        w = params[conv]["kernel"].astype(weight_dtype)
+        if cin * cout >= _FUSE_MIN_FLOPS_PER_ROW:
+            y, s1, s2 = fused_block(
+                h, mu, inv, gamma, beta, w, params[conv]["bias"],
+                None, seed0,
+                bn_in is not None,  # prologue relu; conv1 sees raw points
+                0.0, True, 0, _pick_tile(n, None, cin, cout), act_dtype,
+            )
+        else:
+            y, s1, s2 = _xla_block(
+                h, mu, inv, gamma, beta, w, params[conv]["bias"], None,
+                bn_in is not None, act_dtype,
+            )
         update_running(
             {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
              "conv4": "bn4", "conv5": "bn5", "global_feat": "bn_global"}[conv],
