@@ -108,6 +108,50 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Convert checkpoints between framework and reference .pth formats."""
+    from pcseg_tpu.ckpt.checkpoint import load_checkpoint, save_checkpoint
+    from pcseg_tpu.ckpt.torch_import import (
+        export_torch_state_dict,
+        load_best_model_pth,
+    )
+
+    if args.src.endswith(".pth"):
+        variables, meta = load_best_model_pth(args.src)
+        save_checkpoint(
+            args.dst,
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            metadata=meta,
+        )
+        print(json.dumps({"converted": args.dst, "from": "pth", **{
+            k: meta[k] for k in ("num_classes", "epoch") if k in meta}}))
+    else:
+        import torch
+
+        raw, meta = load_checkpoint(args.src)
+        sd = export_torch_state_dict(
+            {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+        )
+        torch.save(
+            {
+                "epoch": meta.get("epoch", 0),
+                "model_state_dict": {
+                    k: torch.tensor(v) for k, v in sd.items()
+                },
+                "optimizer_state_dict": {},
+                "train_loss": meta.get("train_loss", 0.0),
+                "val_loss": meta.get("val_loss", 0.0),
+                "f1_class2": meta.get("f1_class_target", 0.0),
+                "f1_per_class": meta.get("f1_per_class", []),
+                "num_classes": meta["num_classes"],
+            },
+            args.dst,
+        )
+        print(json.dumps({"converted": args.dst, "to": "pth"}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="pcseg_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -142,6 +186,15 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "convert",
+        help="convert checkpoints: best_model.pth <-> framework dir "
+        "(direction inferred from the .pth extension of src/dst)",
+    )
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.set_defaults(fn=cmd_convert)
 
     args = parser.parse_args(argv)
     return args.fn(args)
