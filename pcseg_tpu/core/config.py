@@ -31,8 +31,9 @@ class DataConfig:
     # these bucket lengths so XLA compiles a handful of static shapes
     # (replaces the reference's fully dynamic per-batch max, pcs.py:50).
     buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192)
-    num_workers: int = 0          # host-side prefetch threads (0 = inline)
     prefetch_depth: int = 2       # batches resident on device ahead of compute
+                                  # (0 = inline; replaces the reference's
+                                  # num_workers=32 processes, pcs.py:199)
 
 
 @dataclass
@@ -76,6 +77,9 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     checkpoint_name: str = "best_model"   # pcs.py:382 ('best_model.pth')
+    # failure recovery: also write a 'latest' checkpoint every N epochs
+    # (0 = only the best-model checkpoint, like the reference)
+    save_latest_every: int = 1
     log_every_steps: int = 10
     # Parallelism: number of devices on the mesh 'data' axis (0 = all).
     data_parallel: int = 0

@@ -255,6 +255,19 @@ def train_model(
             f"macro {f1.macro:.4f} lr {lr:.6f} ({dt:.1f}s)"
         )
 
+        # failure recovery: rolling 'latest' checkpoint (resume target);
+        # the reference only ever writes best_model (pcs.py:371-382)
+        if (
+            t_cfg.save_latest_every > 0
+            and (epoch + 1) % t_cfg.save_latest_every == 0
+        ):
+            save_checkpoint(
+                os.path.join(t_cfg.checkpoint_dir, "latest"),
+                state,
+                metadata={"epoch": epoch, "num_classes": num_classes,
+                          "config": cfg.to_dict()},
+            )
+
         # best-model selection (pcs.py:359-369)
         improved = False
         if f1_target > best_f1_target:

@@ -115,3 +115,18 @@ def test_resume_from_checkpoint(tmp_path, small_events):
     assert start >= 1  # did not restart from scratch
     assert res2.history[-1]["epoch"] == 2
     assert int(res2.state.step) > 0
+
+
+def test_latest_checkpoint_written(tmp_path, small_events):
+    from pcseg_tpu.api import ArrayDataset
+    from pcseg_tpu.core.config import Config
+    from pcseg_tpu.train.loop import train_model
+
+    cfg = Config()
+    cfg.data.batch_size = 8
+    cfg.data.buckets = (512,)
+    cfg.train.num_epochs = 1
+    cfg.train.checkpoint_dir = str(tmp_path)
+    train_model(cfg, ArrayDataset(small_events), log=lambda *a: None)
+    _, meta = load_checkpoint(str(tmp_path / "latest"))
+    assert meta["epoch"] == 0
