@@ -52,7 +52,9 @@ def _pick_tile(
     budget = 7 * 1024 * 1024  # swept: 7MB -> 19.4 ms, 5MB -> 20.0, 3MB -> 21.4
     per_row = max(1, (cin + cout) * 12)
     cap = max(64, budget // per_row)
-    for t in (512, 256, 128, 64, 32, 16, 8):
+    # big tiles matter for NARROW layers: their per-grid-step overhead
+    # dominates (tile 4096 at 128ch stays ~6MB)
+    for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if t > cap:
             continue
         if n % t == 0 and (rows_per_batch is None or rows_per_batch % t == 0):
