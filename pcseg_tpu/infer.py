@@ -113,12 +113,38 @@ class Predictor:
         return np.argmax(self.logits(points), axis=-1)
 
     def predict_batch(
-        self, events: Sequence[np.ndarray]
+        self, events: Sequence[np.ndarray], batch_size: int = 8
     ) -> list[np.ndarray]:
-        """Batch of ragged events -> list of per-point predictions."""
-        out = []
-        for pts in events:
-            out.append(self.predict(pts))
+        """Batch of ragged events -> list of per-point predictions.
+
+        Events are grouped by pad bucket and run ``batch_size`` at a time,
+        so serving amortizes dispatch over the batch and compiles one
+        program per (bucket, batch_size) pair.
+        """
+        events = [np.asarray(e, np.float32) for e in events]
+        order = sorted(
+            range(len(events)), key=lambda i: events[i].shape[0]
+        )
+        out: list = [None] * len(events)
+        for s in range(0, len(order), batch_size):
+            idx = order[s : s + batch_size]
+            group = [events[i] for i in idx]
+            bucket = pick_bucket(
+                max(e.shape[0] for e in group), self.buckets
+            )
+            padded = [
+                (e, np.zeros(e.shape[0], np.int64)) for e in group
+            ]
+            pts, _, _ = pad_events(
+                padded, bucket, batch_size=batch_size,
+                feature_dim=self.input_dim,
+            )
+            logits = np.asarray(
+                self._forward(self.variables, jnp.asarray(pts))
+            )
+            for j, i in enumerate(idx):
+                n = events[i].shape[0]
+                out[i] = np.argmax(logits[j, :n], axis=-1)
         return out
 
 

@@ -130,3 +130,19 @@ def test_latest_checkpoint_written(tmp_path, small_events):
     train_model(cfg, ArrayDataset(small_events), log=lambda *a: None)
     _, meta = load_checkpoint(str(tmp_path / "latest"))
     assert meta["epoch"] == 0
+
+
+def test_predict_batch_matches_single(tmp_path, small_events):
+    from pcseg_tpu.infer import Predictor
+    from pcseg_tpu.models.pointnet import PointNetSeg
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state
+
+    model = PointNetSeg(num_classes=4)
+    state = create_train_state(model, jax.random.key(7), make_optimizer())
+    save_checkpoint(str(tmp_path / "ck"), state, {"num_classes": 4})
+    p = Predictor.from_checkpoint(str(tmp_path / "ck"))
+    events = [e[0] for e in small_events[:5]]
+    batched = p.predict_batch(events, batch_size=4)
+    for e, got in zip(events, batched):
+        np.testing.assert_array_equal(got, p.predict(e))
