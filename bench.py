@@ -43,6 +43,10 @@ def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
 
+    from pcseg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from pcseg_tpu.models.pointnet import PointNetSeg
     from pcseg_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
     from pcseg_tpu.train.optim import make_optimizer

@@ -153,6 +153,9 @@ def cmd_convert(args) -> int:
 
 
 def main(argv=None) -> int:
+    from pcseg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="pcseg_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
