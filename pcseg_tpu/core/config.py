@@ -80,7 +80,8 @@ class TrainConfig:
     # failure recovery: also write a 'latest' checkpoint every N epochs
     # (0 = only the best-model checkpoint, like the reference)
     save_latest_every: int = 1
-    log_every_steps: int = 10
+    # per-step progress logging (0 = off; each log syncs the device)
+    log_every_steps: int = 0
     # Parallelism: number of devices on the mesh 'data' axis (0 = all).
     data_parallel: int = 0
     # Per-replica BN running stats (DataParallel semantics, pcs.py:211) vs

@@ -7,3 +7,4 @@ from pcseg_tpu.parallel.mesh import (
     psum_mean,
     initialize_distributed,
 )
+from pcseg_tpu.parallel.sp import make_sp_forward

@@ -69,16 +69,20 @@ def split_indices(n: int, val_fraction: float, seed: int):
     return perm[:n_train], perm[n_train:]
 
 
-def _run_epoch_train(train_step, batcher, state, lr, cw, root, epoch, log):
+def _run_epoch_train(
+    train_step, batcher, state, lr, cw, root, epoch, log, log_every=0
+):
     """One training pass. Metrics stay on device until the epoch ends —
     the reference syncs on ``loss.item()`` every batch (pcs.py:258); here
     dispatch runs ahead asynchronously and the only host sync is the final
-    conversion."""
+    conversion (or every ``log_every`` steps when progress logging is on)."""
     metrics_list = []
     for i, (points, labels, masks) in enumerate(batcher):
         dk = prng.purpose_key(root, "dropout", epoch * 1_000_000 + i)
         state, metrics = train_step(state, (points, labels, masks), lr, dk, cw)
         metrics_list.append(metrics)
+        if log_every and (i + 1) % log_every == 0:
+            log(f"  step {i + 1}: loss {float(metrics['loss']):.4f}")
     losses = [float(m["loss"]) for m in metrics_list]
     correct = sum(float(m["correct"]) for m in metrics_list)
     total = sum(float(m["total"]) for m in metrics_list)
@@ -219,7 +223,8 @@ def train_model(
         )
         with trace_ctx:
             state, train_loss, train_acc = _run_epoch_train(
-                train_step, train_iter, state, lr, cw, root, epoch, log
+                train_step, train_iter, state, lr, cw, root, epoch, log,
+                t_cfg.log_every_steps,
             )
         val_loss, val_acc, cm = _run_epoch_eval(
             eval_step, val_iter, state, num_classes, cw
