@@ -12,8 +12,6 @@ import argparse
 import json
 import sys
 
-import numpy as np
-
 from pcseg_tpu.core.config import Config, apply_overrides
 
 

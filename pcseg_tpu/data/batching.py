@@ -19,7 +19,7 @@ batch-max rule — see SURVEY.md §2.2 quirks).
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ pipeline.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Sequence
+from typing import Iterable
 
 import h5py
 import numpy as np

@@ -11,7 +11,7 @@ Accepts either a native framework checkpoint directory or a reference
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

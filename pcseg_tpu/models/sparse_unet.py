@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from pcseg_tpu.ops.sparse import (
-    SparseVoxels,
     gather_point_logits,
     site_layer_norm,
     site_layer_norm_init,

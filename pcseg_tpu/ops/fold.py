@@ -13,7 +13,6 @@ is the serving path; training keeps live statistics.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from pcseg_tpu.ops.batchnorm import EPS
 

@@ -21,8 +21,6 @@ can index them; the feature row width is padded to 8 lanes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

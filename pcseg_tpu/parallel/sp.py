@@ -13,8 +13,6 @@ Composes with batch DP: points (B, M, D) sharded P('data', 'model').
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

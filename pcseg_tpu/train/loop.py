@@ -23,7 +23,7 @@ import contextlib
 import dataclasses
 import os
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
