@@ -55,3 +55,23 @@ def test_sp_train_stats_match_unsharded(sp_mesh, small_events):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
         )
+
+
+def test_dp_times_sp_mesh(small_events):
+    """DP x SP combined (2 x 4 mesh): full-batch-stat train forward equals
+    the unsharded forward."""
+    model = PointNetSeg(num_classes=4, dropout=0.0)
+    variables = model.init(jax.random.key(3))
+    points, masks = _batch(small_events, b=4)
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+
+    ref_logits, ref_bn = model.apply(variables, points, train=True, mask=masks)
+    sp = make_sp_forward(model, mesh, train=True)
+    got_logits, got_bn = sp(variables, points, masks)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), atol=2e-4, rtol=1e-3
+    )
+    for a, b in zip(jax.tree.leaves(ref_bn), jax.tree.leaves(got_bn)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
