@@ -45,6 +45,11 @@ class SparseVoxelNet:
     # 2x faster on TPU at LArTPC occupancies (per-row gathers serialize;
     # BASELINE.md). "gather": the classic rulebook gather formulation.
     impl: str = "dense"
+    # U-Net hierarchy (dense impl only): levels > 1 adds stride-2
+    # downsampling stages whose occupancy is the 2^3-pooled active set,
+    # with skip connections back up — a sparse U-Net where every
+    # resolution only carries occupied voxels.
+    levels: int = 1
     # duck-type compatibility knobs (unused)
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -54,13 +59,28 @@ class SparseVoxelNet:
         return self.input_dim - 3 + 1
 
     def init(self, key: jax.Array) -> dict:
-        keys = iter(jax.random.split(key, 2 * self.depth + 2))
+        keys = iter(jax.random.split(key, 4 * self.depth * self.levels + 8))
         p: dict = {}
         cin = self.in_channels
         for i in range(self.depth):
             p[f"conv{i}"] = subm_conv_init(next(keys), cin, self.width)
             p[f"ln{i}"] = site_layer_norm_init(self.width)
             cin = self.width
+        if self.levels > 1:
+            if self.impl != "dense":
+                raise ValueError("levels > 1 requires impl='dense'")
+            from pcseg_tpu.ops.conv3d import conv3d_init
+
+            w = self.width
+            for lv in range(1, self.levels):
+                wl = w * (2 ** lv)
+                p[f"down{lv}"] = conv3d_init(next(keys), 2, wl // 2, wl)
+                p[f"down{lv}_ln"] = site_layer_norm_init(wl)
+                for i in range(self.depth):
+                    p[f"l{lv}_conv{i}"] = subm_conv_init(next(keys), wl, wl)
+                    p[f"l{lv}_ln{i}"] = site_layer_norm_init(wl)
+                p[f"up{lv}"] = conv3d_init(next(keys), 2, wl, wl // 2)
+                p[f"up{lv}_ln"] = site_layer_norm_init(wl // 2)
         p["head"] = {
             "kernel": jax.random.uniform(
                 next(keys),
@@ -119,20 +139,55 @@ class SparseVoxelNet:
             return logits, {}
         return logits
 
+    @staticmethod
+    def _ln_relu_mask(y, ln, active):
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        z = (yf - mean) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
+        return jnp.where(active[..., None], jnp.maximum(z, 0.0), 0.0)
+
+    def _subm_stack(self, p, prefix, x, active, dt):
+        for i in range(self.depth):
+            y = subm_conv_dense(
+                p[f"{prefix}conv{i}"], x, active, compute_dtype=dt
+            )
+            y = self._ln_relu_mask(y, p[f"{prefix}ln{i}"], active).astype(dt)
+            x = y if (i == 0 and prefix == "") else (x + y)
+        return x
+
     def _apply_dense(self, p, grid, points, mask, dt):
         """Masked-dense submanifold path (same params as the gather path)."""
+        from pcseg_tpu.ops.conv3d import conv3d, conv3d_transpose
+
         active = grid.counts > 0
         x = grid.features.astype(dt)
-        for i in range(self.depth):
-            y = subm_conv_dense(p[f"conv{i}"], x, active, compute_dtype=dt)
-            ln = p[f"ln{i}"]
-            yf = y.astype(jnp.float32)
-            mean = jnp.mean(yf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
-            y = (yf - mean) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
-            y = jnp.where(active[..., None], jnp.maximum(y, 0.0), 0.0)
-            y = y.astype(dt)
-            x = y if i == 0 else (x + y)
+        x = self._subm_stack(p, "", x, active, dt)
+
+        if self.levels > 1:
+            # encoder-decoder over pooled occupancy hierarchies
+            skips, actives = [x], [active]
+            a = active
+            for lv in range(1, self.levels):
+                a = jax.lax.reduce_window(
+                    a, False, jax.lax.bitwise_or,
+                    (1, 2, 2, 2), (1, 2, 2, 2), "VALID",
+                )
+                h = conv3d(p[f"down{lv}"], skips[-1], stride=2,
+                           compute_dtype=dt)
+                h = self._ln_relu_mask(h, p[f"down{lv}_ln"], a).astype(dt)
+                h = self._subm_stack(p, f"l{lv}_", h, a, dt)
+                skips.append(h)
+                actives.append(a)
+            h = skips[-1]
+            for lv in range(self.levels - 1, 0, -1):
+                u = conv3d_transpose(p[f"up{lv}"], h, stride=2,
+                                     compute_dtype=dt)
+                u = self._ln_relu_mask(
+                    u, p[f"up{lv}_ln"], actives[lv - 1]
+                ).astype(dt)
+                h = skips[lv - 1] + u
+            x = h
 
         voxel_logits = (
             jax.lax.dot_general(

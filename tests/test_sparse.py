@@ -146,3 +146,40 @@ def test_dense_impl_matches_gather_impl(rng, small_events):
     np.testing.assert_allclose(
         np.asarray(ld), np.asarray(lg), atol=2e-4, rtol=1e-3
     )
+
+
+def test_sparse_multilevel_unet(mesh8, small_events):
+    """levels>1: pooled-occupancy encoder-decoder trains and masks hold."""
+    model = SparseVoxelNet(
+        num_classes=4, grid_size=16, width=8, depth=2, levels=2, impl="dense"
+    )
+    variables = model.init(jax.random.key(4))
+    points, labels, masks = pad_events(small_events[:8], 512, 8)
+    logits = model.apply(
+        variables, jnp.asarray(points), train=False, mask=jnp.asarray(masks)
+    )
+    assert logits.shape == (8, 512, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state, make_train_step
+
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    step = make_train_step(model, tx, mesh8, donate=False)
+    batch = (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, batch, jnp.float32(3e-3), jax.random.key(i), jnp.ones((4,), jnp.float32))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses[::4]
+
+
+def test_sparse_gather_impl_rejects_levels():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SparseVoxelNet(num_classes=4, levels=2, impl="gather").init(
+            jax.random.key(0)
+        )
