@@ -43,7 +43,11 @@ def _psum(v: jax.Array, axes) -> jax.Array:
     if vma is not None:
         missing = tuple(a for a in axes_t if a not in vma)
         if missing:
-            v = jax.lax.pvary(v, missing)
+            pcast = getattr(jax.lax, "pcast", None)
+            if pcast is not None:
+                v = pcast(v, missing, to="varying")
+            else:  # older jax
+                v = jax.lax.pvary(v, missing)
     return jax.lax.psum(v, axes_t)
 
 
