@@ -168,8 +168,46 @@ def make_train_step(
         out_specs=(rep, rep),
         check_vma=True,
     )
-    donate_argnums = (0,) if donate else ()
-    return jax.jit(mapped, donate_argnums=donate_argnums)
+    if not donate:
+        return jax.jit(mapped)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_scan_train_steps(
+    model: PointNetSeg,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    sync_batchnorm: bool = False,
+):
+    """Many train steps in ONE dispatch: ``lax.scan`` over pre-staged
+    batches.
+
+    Measured note: with donated state, JAX's async dispatch already
+    pipelines the per-step loop, so on this hardware the scan is NOT
+    faster (34.8 vs 30.5 ms/step at K=25). It exists for callers who need
+    a single program per epoch (e.g. to minimize host wakeups or to stage
+    an epoch entirely on device for multi-host orchestration).
+
+    Signature: ``run(state, batches, lr, keys, class_weights) ->
+    (new_state, stacked_metrics)`` where batches = (points (K,B,M,D),
+    labels (K,B,M), masks (K,B,M)) and keys is a stacked (K,) key array.
+    All K batches must share one bucket shape.
+    """
+    jitted = make_train_step(
+        model, optimizer, mesh, sync_batchnorm=sync_batchnorm, donate=False
+    )
+    # jax.jit objects expose the wrapped fn
+    mapped = jitted.__wrapped__
+
+    def run(state, batches, lr, keys, class_weights):
+        def body(state, xs):
+            batch, key = xs
+            state, metrics = mapped(state, batch, lr, key, class_weights)
+            return state, metrics
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return jax.jit(run, donate_argnums=(0,))
 
 
 def make_eval_step(

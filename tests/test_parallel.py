@@ -146,3 +146,36 @@ def test_fully_padded_rows_are_inert_to_loss(mesh8, small_events):
         float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
     )
     assert float(m_a["total"]) == float(m_b["total"])
+
+
+def test_scan_train_steps_matches_loop(mesh8, small_events):
+    """K steps in one scanned dispatch == K per-step dispatches."""
+    from pcseg_tpu.train.steps import make_scan_train_steps
+
+    model = PointNetSeg(num_classes=4, dropout=0.0)
+    tx = make_optimizer()
+    K = 3
+    points, labels, masks = _uneven_batch(small_events)
+    pts = jnp.stack([points] * K)
+    labs = jnp.stack([labels] * K)
+    msks = jnp.stack([masks] * K)
+    keys = jax.random.split(jax.random.key(0), K)
+    cw = jnp.ones((4,), jnp.float32)
+    lr = jnp.float32(1e-3)
+
+    s1 = create_train_state(model, jax.random.key(0), tx)
+    step = make_train_step(model, tx, mesh8, donate=False)
+    for i in range(K):
+        s1, m1 = step(s1, (points, labels, masks), lr, keys[i], cw)
+
+    s2 = create_train_state(model, jax.random.key(0), tx)
+    run = make_scan_train_steps(model, tx, mesh8)
+    s2, ms = run(s2, (pts, labs, msks), lr, keys, cw)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(ms["loss"][-1]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        )
