@@ -129,6 +129,13 @@ def _fwd_pallas(
 ):
     n, cin = x.shape
     cout = w.shape[1]
+    # the forward kernel holds ~half the backward's per-row VMEM (no dy/dx
+    # tiles, no dW accumulator), so it can take twice the row tile
+    if (
+        n % (tile * 2) == 0
+        and (rows_per_batch == 0 or rows_per_batch % (tile * 2) == 0)
+    ):
+        tile = tile * 2
     normalize = mu is not None
     drop_threshold = (
         min(int(drop_rate * (1 << 32)), (1 << 32) - 1)
