@@ -80,6 +80,17 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    from pcseg_tpu.api import evaluate
+
+    m = evaluate(
+        args.checkpoint, data_path=args.data, label_path=args.labels
+    )
+    m.pop("confusion")
+    print(json.dumps(m))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from pcseg_tpu.data.hdf5 import write_event_files
     from pcseg_tpu.data.synthetic import synthetic_events
@@ -174,6 +185,14 @@ def main(argv=None) -> int:
     p.add_argument("--event", type=int, default=0)
     p.add_argument("--dump", action="store_true", help="print predictions")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser(
+        "eval", help="evaluate a checkpoint on a labeled dataset"
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--labels", required=True)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("synth", help="generate synthetic event files")
     p.add_argument("--data", required=True)

@@ -31,3 +31,24 @@ def test_family_end_to_end(tmp_path, small_events, family):
     preds = p.predict(small_events[0][0])
     assert preds.shape == (small_events[0][0].shape[0],)
     assert preds.min() >= 0 and preds.max() < res.num_classes
+
+
+def test_evaluate_api(tmp_path, small_events):
+    from pcseg_tpu.api import evaluate, fit
+    from pcseg_tpu.core.config import Config
+
+    cfg = Config()
+    cfg.data.batch_size = 8
+    cfg.data.buckets = (512,)
+    cfg.train.num_epochs = 1
+    cfg.train.checkpoint_dir = str(tmp_path)
+    res = fit(small_events, config=cfg, log=lambda *a: None)
+
+    m = evaluate(
+        res.checkpoint_path, small_events, batch_size=8, buckets=(512,)
+    )
+    assert 0 <= m["accuracy"] <= 100
+    assert len(m["f1_per_class"]) == res.num_classes
+    assert np.asarray(m["confusion"]).sum() == sum(
+        e[0].shape[0] for e in small_events
+    )
