@@ -129,19 +129,23 @@ def _fwd_pallas(
 ):
     n, cin = x.shape
     cout = w.shape[1]
-    # the forward kernel holds ~half the backward's per-row VMEM (no dy/dx
-    # tiles, no dW accumulator), so it can take twice the row tile
-    if (
-        n % (tile * 2) == 0
-        and (rows_per_batch == 0 or rows_per_batch % (tile * 2) == 0)
-    ):
-        tile = tile * 2
     normalize = mu is not None
     drop_threshold = (
         min(int(drop_rate * (1 << 32)), (1 << 32) - 1)
         if drop_rate > 0.0
         else None
     )
+    # The forward kernel holds ~half the backward's per-row VMEM (no dy/dx
+    # tiles, no dW accumulator), so it can take twice the row tile — but
+    # NOT when dropout is active: masks are regenerated in the backward
+    # from (seed + program_id) per tile, so fwd and bwd must use the SAME
+    # tile size or the PRNG streams (and therefore the masks) diverge.
+    if (
+        drop_threshold is None
+        and n % (tile * 2) == 0
+        and (rows_per_batch == 0 or rows_per_batch % (tile * 2) == 0)
+    ):
+        tile = tile * 2
     drop_scale = 1.0 / (1.0 - drop_rate) if drop_rate > 0.0 else 1.0
     grid = pl.cdiv(n, tile)
     vma = getattr(jax.typeof(x), "vma", frozenset())

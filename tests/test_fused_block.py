@@ -139,3 +139,40 @@ def test_fused_block_dropout_tpu(rng):
     y, _, _ = fused_block(*args, None, SEED, True, 0.3, True, 0, 128,
                           jnp.float32)
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="hardware PRNG (TPU only)"
+)
+def test_fused_block_dropout_fwd_bwd_mask_agreement(rng):
+    """The backward kernel regenerates dropout masks from
+    (seed + program_id) per tile; forward and backward must therefore use
+    the SAME row tiling. Regression test for the fwd tile-doubling bug:
+    with identity weights and strictly positive inputs, y / x reveals the
+    forward keep-mask (~scale or 0) and grad(sum(y)) the backward one.
+    The TPU MXU runs f32 matmuls at reduced precision, so kept entries
+    carry ~1e-3 wobble — compare masks binarized, values with tolerance.
+    """
+    n, c = 1024, 128
+    x = jnp.asarray(rng.uniform(0.5, 1.5, size=(n, c)), jnp.float32)
+    w = jnp.eye(c, dtype=jnp.float32)
+    b = jnp.zeros((c,), jnp.float32)
+
+    def op(x):
+        y, _, _ = fused_block(
+            x, None, None, None, None, w, b, None, SEED,
+            True, 0.5, False, 0, 128, jnp.float32,
+        )
+        return y
+
+    fwd_mask = np.asarray(op(x)) / np.asarray(x)       # ~2.0 kept, 0 dropped
+    bwd_mask = np.asarray(jax.grad(lambda x: jnp.sum(op(x)))(x))
+    fwd_keep = fwd_mask > 1.0
+    bwd_keep = bwd_mask > 1.0
+    assert (fwd_keep == bwd_keep).all()
+    np.testing.assert_allclose(
+        bwd_mask[fwd_keep], fwd_mask[fwd_keep], rtol=2e-2
+    )
+    # sanity: the mask actually drops roughly half
+    keep_frac = fwd_keep.mean()
+    assert 0.4 < keep_frac < 0.6, keep_frac
