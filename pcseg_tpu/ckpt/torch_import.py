@@ -95,7 +95,10 @@ def load_best_model_pth(path: str) -> tuple[dict, dict]:
     """
     import torch  # local import: torch is interop-only, not a framework dep
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: the reference checkpoint holds only tensors /
+    # ints / floats / lists (pcs.py:373-382), and full unpickling would
+    # execute arbitrary code from an untrusted .pth.
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     variables = import_torch_state_dict(ckpt["model_state_dict"])
     meta = {k: v for k, v in ckpt.items() if k != "model_state_dict"}
     meta.pop("optimizer_state_dict", None)

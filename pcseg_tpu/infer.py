@@ -10,6 +10,7 @@ Accepts either a native framework checkpoint directory or a reference
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Sequence
 
@@ -53,20 +54,32 @@ class Predictor:
         self.num_classes = num_classes
         self.input_dim = input_dim
         self.buckets = tuple(sorted(buckets))
+        # Serving is padding-invariant: the valid-point mask restricts the
+        # global max pool (PointNetSeg) / voxelization (voxel families) so
+        # bucket padding cannot influence predictions — matching the
+        # reference's UNPADDED inference_example (pcs.py:448) on identical
+        # weights.
         if fold and isinstance(self.model, PointNetSeg):
             from pcseg_tpu.models.pointnet import pointnet_apply_folded
             from pcseg_tpu.ops.fold import fold_pointnet
 
             folded = fold_pointnet(self.variables)
             self._forward = jax.jit(
-                lambda v, p: pointnet_apply_folded(
-                    v, p, compute_dtype=jnp.dtype(dtype)
+                lambda v, p, m: pointnet_apply_folded(
+                    v, p, compute_dtype=jnp.dtype(dtype), pool_mask=m
                 )
             )
             self.variables = folded
         else:
+            serve_model = self.model
+            if isinstance(serve_model, PointNetSeg):
+                # eval-mode BN uses running stats, so this only masks the
+                # global max pool
+                serve_model = dataclasses.replace(
+                    serve_model, mask_norm_and_pool=True
+                )
             self._forward = jax.jit(
-                lambda v, p: self.model.apply(v, p, train=False)
+                lambda v, p, m: serve_model.apply(v, p, train=False, mask=m)
             )
 
     @classmethod
@@ -103,9 +116,11 @@ class Predictor:
         n = points.shape[0]
         bucket = pick_bucket(n, self.buckets)
         labels = np.zeros(n, np.int64)
-        pts, _, _ = pad_events([(points, labels)], bucket,
-                               feature_dim=self.input_dim)
-        out = self._forward(self.variables, jnp.asarray(pts))
+        pts, _, msk = pad_events([(points, labels)], bucket,
+                                 feature_dim=self.input_dim)
+        out = self._forward(
+            self.variables, jnp.asarray(pts), jnp.asarray(msk)
+        )
         return np.asarray(out)[0, :n]
 
     def predict(self, points: np.ndarray) -> np.ndarray:
@@ -135,12 +150,14 @@ class Predictor:
             padded = [
                 (e, np.zeros(e.shape[0], np.int64)) for e in group
             ]
-            pts, _, _ = pad_events(
+            pts, _, msk = pad_events(
                 padded, bucket, batch_size=batch_size,
                 feature_dim=self.input_dim,
             )
             logits = np.asarray(
-                self._forward(self.variables, jnp.asarray(pts))
+                self._forward(
+                    self.variables, jnp.asarray(pts), jnp.asarray(msk)
+                )
             )
             for j, i in enumerate(idx):
                 n = events[i].shape[0]

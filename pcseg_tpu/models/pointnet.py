@@ -250,11 +250,18 @@ def pointnet_apply_folded(
     folded: dict,
     points: jax.Array,
     compute_dtype=jnp.bfloat16,
+    pool_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Serving forward on BN-folded params (ops/fold.py): a pure
     matmul+ReLU chain — one fused kernel per layer, no normalize passes.
     Numerically identical to ``pointnet_apply(train=False)`` up to float
-    reassociation."""
+    reassociation.
+
+    ``pool_mask`` (B, M) bool restricts the global max pool to valid rows
+    so bucket padding cannot win it (padding-invariant serving; equal to
+    the reference's unpadded ``inference_example`` on the same weights).
+    Padded rows are zero-filled pre-pool — exact for post-ReLU (>=0)
+    features as long as each event has at least one valid point."""
 
     def layer(name, x, relu=True):
         y = pointwise_dense(folded[name], x, compute_dtype)
@@ -267,6 +274,8 @@ def pointnet_apply_folded(
     x = layer("conv4", x)
     x = layer("conv5", x)
     g = layer("global_feat", x)
+    if pool_mask is not None:
+        g = jnp.where(pool_mask[..., None], g, 0)
     g = jnp.max(g, axis=1)
     g = jnp.broadcast_to(g[:, None, :], x.shape[:2] + (g.shape[-1],))
     x = jnp.concatenate([point_feat, g.astype(compute_dtype)], axis=-1)

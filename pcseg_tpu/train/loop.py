@@ -61,11 +61,12 @@ class TrainResult:
 
 
 def split_indices(n: int, val_fraction: float, seed: int):
-    """80/20 random split (pcs.py:192-194), seeded."""
+    """80/20 random split, seeded. Sizes mirror the reference exactly:
+    train = int((1 - val_fraction) * n), val = remainder (pcs.py:192-194;
+    e.g. n=11 gives 8/3, not round()'s 9/2)."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
-    n_val = int(round(n * val_fraction))
-    n_train = n - n_val
+    n_train = int((1.0 - val_fraction) * n)
     return perm[:n_train], perm[n_train:]
 
 

@@ -11,11 +11,13 @@ Replaces the reference's per-batch step logic (pcs.py:236-271 train,
   them over ICI (the explicit equivalent of DataParallel's implicit
   gradient averaging);
 - BN batch statistics are per-replica by default (DataParallel semantics,
-  SURVEY.md §2.2) — running stats then also stay per-replica identical
-  because every replica starts from the same state and sees its own batch;
-  we average stats across replicas after the update so the canonical state
-  remains replicated. ``sync_batchnorm=True`` psum-pools the batch moments
-  instead (true sync-BN).
+  SURVEY.md §2.2); the canonical running stats keep REPLICA 0's update —
+  exactly what ``nn.DataParallel`` does (replica 0 is the original module,
+  the other replicas' buffer updates are discarded). Averaging per-shard
+  unbiased variances instead would drop the between-shard mean component
+  and underestimate the global variance. ``sync_batchnorm=True``
+  psum-pools the batch moments instead (true sync-BN; stats identical on
+  every replica by construction).
 - eval accumulates loss/accuracy AND the confusion matrix in one pass,
   replacing the reference's separate third F1 sweep (pcs.py:314-346).
 """
@@ -59,28 +61,15 @@ def create_train_state(
     )
 
 
-def make_train_step(
+def _make_mapped_train_step(
     model: PointNetSeg,
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     sync_batchnorm: bool = False,
-    donate: bool = True,
 ):
-    """Build the compiled train step.
-
-    Signature: ``train_step(state, batch, lr, dropout_key, class_weights)
-    -> (new_state, metrics)`` where batch = (points (B,M,D), labels (B,M),
-    masks (B,M)) with B divisible by the mesh data axis, class_weights is
-    a (C,) f32 array (pass ones for unweighted CE), and metrics =
-    {loss, correct, total} global scalars (loss = global weighted CE, the
-    same number DataParallel's gathered loss produces).
-
-    ``class_weights`` is a RUN-TIME argument, not a captured constant: on
-    some PJRT runtimes a jit-closure array constant forces a pathological
-    dispatch path (~40x step cost); an explicit argument always takes the
-    fast path and costs nothing extra.
+    """The shard_map-wrapped (un-jitted) train step; shared by
+    ``make_train_step`` (jits it) and ``make_scan_train_steps`` (scans it).
     """
-    n_data = mesh.shape[DATA_AXIS]
     bn_axis = DATA_AXIS if sync_batchnorm else None
 
     def step(state: TrainState, batch, lr, dropout_key, class_weights):
@@ -139,10 +128,15 @@ def make_train_step(
             state.params, jax.tree.map(lambda u: (-lr) * u, updates)
         )
 
-        # Canonical running stats: average the per-replica updates (no-op
-        # when sync_batchnorm since stats are already identical).
+        # Canonical running stats: keep replica 0's update (DataParallel
+        # keeps only the original module's buffers — pcs.py:209-213). The
+        # masked psum broadcasts replica 0's value, making the result
+        # replicated under the VMA type system. With sync_batchnorm the
+        # per-replica updates are already identical, so this is a no-op
+        # semantically either way.
+        is_r0 = (jax.lax.axis_index(DATA_AXIS) == 0).astype(jnp.float32)
         new_bn = jax.tree.map(
-            lambda s: jax.lax.psum(s, DATA_AXIS) / n_data, new_bn
+            lambda s: jax.lax.psum(s * is_r0, DATA_AXIS), new_bn
         )
 
         correct, total = masked_accuracy(logits, labels, masks)
@@ -161,16 +155,42 @@ def make_train_step(
 
     rep = P()
     shd = P(DATA_AXIS)
-    mapped = jax.shard_map(
+    return jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(rep, (shd, shd, shd), rep, rep, rep),
         out_specs=(rep, rep),
         check_vma=True,
     )
-    if not donate:
-        return jax.jit(mapped)
-    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_train_step(
+    model: PointNetSeg,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    sync_batchnorm: bool = False,
+    donate: bool = True,
+):
+    """Build the compiled train step.
+
+    Signature: ``train_step(state, batch, lr, dropout_key, class_weights)
+    -> (new_state, metrics)`` where batch = (points (B,M,D), labels (B,M),
+    masks (B,M)) with B divisible by the mesh data axis, class_weights is
+    a (C,) f32 array (pass ones for unweighted CE), and metrics =
+    {loss, correct, total} global scalars (loss = global weighted CE, the
+    same number DataParallel's gathered loss produces).
+
+    ``class_weights`` is a RUN-TIME argument, not a captured constant: on
+    some PJRT runtimes a jit-closure array constant forces a pathological
+    dispatch path (~40x step cost); an explicit argument always takes the
+    fast path and costs nothing extra.
+    """
+    mapped = _make_mapped_train_step(
+        model, optimizer, mesh, sync_batchnorm=sync_batchnorm
+    )
+    if donate:
+        return jax.jit(mapped, donate_argnums=(0,))
+    return jax.jit(mapped)
 
 
 def make_scan_train_steps(
@@ -193,11 +213,9 @@ def make_scan_train_steps(
     labels (K,B,M), masks (K,B,M)) and keys is a stacked (K,) key array.
     All K batches must share one bucket shape.
     """
-    jitted = make_train_step(
-        model, optimizer, mesh, sync_batchnorm=sync_batchnorm, donate=False
+    mapped = _make_mapped_train_step(
+        model, optimizer, mesh, sync_batchnorm=sync_batchnorm
     )
-    # jax.jit objects expose the wrapped fn
-    mapped = jitted.__wrapped__
 
     def run(state, batches, lr, keys, class_weights):
         def body(state, xs):

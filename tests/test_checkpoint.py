@@ -146,3 +146,32 @@ def test_predict_batch_matches_single(tmp_path, small_events):
     batched = p.predict_batch(events, batch_size=4)
     for e, got in zip(events, batched):
         np.testing.assert_array_equal(got, p.predict(e))
+
+
+def test_predictor_padding_invariant(tmp_path, small_events):
+    """Bucket padding must not influence predictions: the serving path
+    masks the global max pool, so the same event predicted through two
+    different pad buckets gives identical results (folded and unfolded)."""
+    from pcseg_tpu.infer import Predictor
+    from pcseg_tpu.models.pointnet import PointNetSeg
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state
+
+    model = PointNetSeg(num_classes=4)
+    state = create_train_state(model, jax.random.key(3), make_optimizer())
+    save_checkpoint(str(tmp_path / "ck"), state, {"num_classes": 4})
+    event = small_events[0][0]
+    n = event.shape[0]
+    for fold in (True, False):
+        p_tight = Predictor.from_checkpoint(
+            str(tmp_path / "ck"), buckets=(n,), fold=fold
+        )
+        p_padded = Predictor.from_checkpoint(
+            str(tmp_path / "ck"), buckets=(4 * n,), fold=fold
+        )
+        lg_t = p_tight.logits(event)
+        lg_p = p_padded.logits(event)
+        np.testing.assert_allclose(lg_p, lg_t, rtol=2e-2, atol=1e-3)
+        np.testing.assert_array_equal(
+            p_padded.predict(event), p_tight.predict(event)
+        )

@@ -128,3 +128,13 @@ def test_prefetcher_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetch(bad(), depth=1))
+
+
+def test_split_indices_sizes_match_reference():
+    """train = int(0.8 * n), val = remainder (pcs.py:192-194): n=11 must
+    split 8/3, not round()'s 9/2."""
+    from pcseg_tpu.train.loop import split_indices
+
+    tr, va = split_indices(11, 0.2, seed=0)
+    assert (len(tr), len(va)) == (8, 3)
+    assert sorted(np.concatenate([tr, va]).tolist()) == list(range(11))

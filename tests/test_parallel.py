@@ -179,3 +179,39 @@ def test_scan_train_steps_matches_loop(mesh8, small_events):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
         )
+
+
+def test_per_replica_bn_keeps_replica0_stats(mesh8, small_events):
+    """DataParallel semantics: with per-replica BN the canonical running
+    stats are REPLICA 0's update (torch keeps only the original module's
+    buffers) — not an average of per-shard variances, which would drop the
+    between-shard mean component."""
+    model = PointNetSeg(num_classes=4, dropout=0.0)
+    import optax
+
+    tx = optax.identity()
+    batch = _uneven_batch(small_events)
+    cw = jnp.ones((4,), jnp.float32)
+    lr = jnp.float32(0.0)
+
+    s8 = create_train_state(model, jax.random.key(0), tx)
+    step8 = make_train_step(
+        model, tx, mesh8, sync_batchnorm=False, donate=False
+    )
+    n8, _ = step8(s8, batch, lr, jax.random.key(5), cw)
+
+    # replica 0 of the 8-way mesh sees exactly batch row 0
+    mesh1 = make_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+    shard0 = tuple(jnp.asarray(a[:1]) for a in batch)
+    s1 = create_train_state(model, jax.random.key(0), tx)
+    step1 = make_train_step(
+        model, tx, mesh1, sync_batchnorm=False, donate=False
+    )
+    n1, _ = step1(s1, shard0, lr, jax.random.key(5), cw)
+
+    for a, b in zip(
+        jax.tree.leaves(n8.batch_stats), jax.tree.leaves(n1.batch_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
