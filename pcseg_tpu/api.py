@@ -43,19 +43,25 @@ def fit(
     label_path: Optional[str] = None,
     config: Optional[Config] = None,
     overrides: Sequence[str] = (),
+    resume_from: Optional[str] = None,
     log=print,
 ) -> TrainResult:
     """Train on in-memory events or HDF5 files; returns the TrainResult
-    (with ``checkpoint_path`` for ``predictor``/``predict``)."""
+    (with ``checkpoint_path`` for ``predictor``/``predict``).
+
+    ``resume_from``: a checkpoint directory (usually
+    ``<checkpoint_dir>/latest``) to continue from — params, opt_state,
+    epoch counter, and best-model-selection state all restore (the
+    reference saves optimizer state but never loads it, pcs.py:376)."""
     cfg = config or Config()
     apply_overrides(cfg, overrides)
     if events is not None:
         dataset = ArrayDataset(events)
-        return train_model(cfg, dataset, log=log)
+        return train_model(cfg, dataset, resume_from=resume_from, log=log)
     dp = data_path or cfg.data.data_path
     lp = label_path or cfg.data.label_path
     with PointCloudDataset(dp, lp, feature_dim=cfg.model.input_dim) as ds:
-        return train_model(cfg, ds, log=log)
+        return train_model(cfg, ds, resume_from=resume_from, log=log)
 
 
 def evaluate(

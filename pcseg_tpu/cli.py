@@ -34,7 +34,14 @@ def cmd_train(args) -> int:
     if args.labels:
         cfg.data.label_path = args.labels
     apply_overrides(cfg, args.overrides)
-    result = fit(config=cfg)
+    resume_from = args.resume
+    if resume_from == "auto":
+        # continue from the rolling 'latest' checkpoint if one exists
+        import os
+
+        candidate = os.path.join(cfg.train.checkpoint_dir, "latest")
+        resume_from = candidate if os.path.isdir(candidate) else None
+    result = fit(config=cfg, resume_from=resume_from)
     print(
         json.dumps(
             {
@@ -174,6 +181,13 @@ def main(argv=None) -> int:
     p.add_argument(
         "--demo", action="store_true",
         help="run the post-training inference demo (reference __main__)",
+    )
+    p.add_argument(
+        "--resume",
+        default=None,
+        help="checkpoint dir to resume from (restores params, opt_state, "
+        "epoch, and best-model-selection state); 'auto' resumes from "
+        "<checkpoint_dir>/latest when present",
     )
     _add_overrides(p)
     p.set_defaults(fn=cmd_train)

@@ -52,9 +52,20 @@ class ModelConfig:
     # max pool. The reference INCLUDES padding in both (pcs.py:106-127,
     # :114); default False reproduces that behavior.
     mask_norm_and_pool: bool = False
-    # VoxelUNet3d options
+    # Voxel-family options (voxel_unet3d / sparse_voxelnet)
     grid_size: int = 64
     unet_width: int = 16
+    # U-Net resolution levels (0 = family default: 3 for voxel_unet3d,
+    # 1 = single-resolution for sparse_voxelnet's multi-level variant)
+    levels: int = 0
+    # jax.checkpoint rematerialization of the U-Net core (enables 128^3)
+    remat: bool = False
+    # sparse_voxelnet: submanifold conv blocks / static active-site
+    # capacity per event / kernel implementation ("dense" masked conv is
+    # ~2.2x faster than "gather" rulebook on TPU — BASELINE.md)
+    depth: int = 4
+    max_active: int = 8192
+    impl: str = "dense"
 
 
 @dataclass

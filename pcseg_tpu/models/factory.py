@@ -27,6 +27,8 @@ def build_model(cfg: ModelConfig, num_classes: int):
             input_dim=cfg.input_dim,
             grid_size=cfg.grid_size,
             width=cfg.unet_width,
+            levels=cfg.levels or 3,
+            remat=cfg.remat,
             compute_dtype=cfg.compute_dtype,
         )
     if cfg.name == "sparse_voxelnet":
@@ -35,6 +37,10 @@ def build_model(cfg: ModelConfig, num_classes: int):
             input_dim=cfg.input_dim,
             grid_size=cfg.grid_size,
             width=cfg.unet_width,
+            depth=cfg.depth,
+            max_active=cfg.max_active,
+            impl=cfg.impl,
+            levels=cfg.levels or 1,
             compute_dtype=cfg.compute_dtype,
         )
     raise ValueError(f"unknown model family {cfg.name!r}; options: {FAMILIES}")

@@ -66,10 +66,32 @@ BN_FOR = {
 
 DROPOUT_RATE = 0.3  # pcs.py:96
 
+_warned_fused_fallback = False
+
+
+def _warn_fused_fallback(msg: str) -> None:
+    global _warned_fused_fallback
+    if not _warned_fused_fallback:
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+        _warned_fused_fallback = True
+
 
 @dataclasses.dataclass(frozen=True)
 class PointNetSeg:
-    """Static model hyperparameters (a hashable jit-friendly spec)."""
+    """Static model hyperparameters (a hashable jit-friendly spec).
+
+    ``bn_stats="fused"`` semantics (the whole-chain Pallas path,
+    models/pointnet_fused.py): BN statistics are computed over ALL rows of
+    the padded batch — reference behavior for point padding (pcs.py:53 +
+    :106-127), but unlike the XLA path it also includes fully-masked DUMMY
+    rows (batch-dim padding of a short final batch; ~one batch per epoch).
+    Incompatible combinations fail fast instead of silently degrading:
+    ``mask_norm_and_pool=True`` raises (masked statistics are not fused),
+    and cross-device BN (sync-BN / point-axis sharding) warns once per
+    process when it forces the XLA fallback.
+    """
 
     num_classes: int
     input_dim: int = 4
@@ -78,30 +100,45 @@ class PointNetSeg:
     compute_dtype: str = "float32"
     # "exact" = torch-bit-parity two-pass batch variance; "fast" =
     # single-pass E[x^2]-mu^2 (~15% faster steps, ~1e-6 relative
-    # difference in normalized outputs)
+    # difference in normalized outputs); "fused" = whole-chain Pallas
+    # kernels (TPU train mode; see class docstring for semantics)
     bn_stats: str = "exact"
+
+    def __post_init__(self):
+        if self.bn_stats == "fused" and self.mask_norm_and_pool:
+            raise ValueError(
+                "bn_stats='fused' computes statistics over all padded "
+                "positions and cannot honor mask_norm_and_pool=True; use "
+                "bn_stats='exact'/'fast' for masked statistics"
+            )
 
     def init(self, key: jax.Array) -> dict:
         return pointnet_init(key, self.num_classes, self.input_dim)
 
     def apply(self, variables, points, **kw):
-        if (
-            self.bn_stats == "fused"
-            and kw.get("train")
-            and jax.default_backend() == "tpu"
-            and kw.get("axis_name") is None
-            and kw.get("point_axis_name") is None
-        ):
-            # whole-chain fused Pallas path (models/pointnet_fused.py);
-            # stats include any dummy rows (mask ignored for statistics)
-            from pcseg_tpu.models.pointnet_fused import pointnet_apply_fused
-
-            return pointnet_apply_fused(
-                variables,
-                points,
-                dropout_key=kw.get("dropout_key"),
-                dropout_rate=self.dropout,
+        if self.bn_stats == "fused" and kw.get("train"):
+            cross_device = (
+                kw.get("axis_name") is not None
+                or kw.get("point_axis_name") is not None
             )
+            if cross_device:
+                _warn_fused_fallback(
+                    "sync-BN / point-axis sharding needs cross-device "
+                    "statistics; bn_stats='fused' falls back to the XLA "
+                    "path (single-pass stats) for this configuration"
+                )
+            elif jax.default_backend() == "tpu":
+                # whole-chain fused Pallas path (models/pointnet_fused.py)
+                from pcseg_tpu.models.pointnet_fused import (
+                    pointnet_apply_fused,
+                )
+
+                return pointnet_apply_fused(
+                    variables,
+                    points,
+                    dropout_key=kw.get("dropout_key"),
+                    dropout_rate=self.dropout,
+                )
         return pointnet_apply(
             variables,
             points,

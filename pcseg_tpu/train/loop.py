@@ -175,10 +175,11 @@ def train_model(
     root = prng.root_key(t_cfg.seed)
     state = create_train_state(model, prng.purpose_key(root, "params"), optimizer)
     start_epoch = 0
+    resume_meta: dict = {}
     if resume_from:
-        raw, meta = load_checkpoint(resume_from, target=state)
+        raw, resume_meta = load_checkpoint(resume_from, target=state)
         state = raw
-        start_epoch = int(meta.get("epoch", -1)) + 1
+        start_epoch = int(resume_meta.get("epoch", -1)) + 1
         log(f"resumed from {resume_from} at epoch {start_epoch}")
 
     cw = jnp.asarray(class_weights)
@@ -208,10 +209,27 @@ def train_model(
     )
 
     # --- epoch loop (pcs.py:220-396)
-    best_f1_target = 0.0
-    best_val_loss = float("inf")
-    best_epoch = -1
-    patience_counter = 0
+    # On resume, restore the best-model-selection state so a worse
+    # post-resume epoch cannot overwrite a better best checkpoint and the
+    # early-stop clock keeps counting. A 'latest' checkpoint carries the
+    # full selection state; resuming from a best-model checkpoint falls
+    # back to its own metrics (f1_class_target/val_loss, zero patience).
+    best_f1_target = float(
+        resume_meta.get(
+            "best_f1_target", resume_meta.get("f1_class_target", 0.0)
+        )
+    )
+    best_val_loss = float(
+        resume_meta.get(
+            "best_val_loss", resume_meta.get("val_loss", float("inf"))
+        )
+    )
+    best_epoch = int(
+        resume_meta.get("best_epoch", resume_meta.get("epoch", -1))
+        if best_f1_target > 0.0 or "best_epoch" in resume_meta
+        else -1
+    )
+    patience_counter = int(resume_meta.get("patience_counter", 0))
     history: list[dict] = []
 
     for epoch in range(start_epoch, t_cfg.num_epochs):
@@ -261,19 +279,6 @@ def train_model(
             f"macro {f1.macro:.4f} lr {lr:.6f} ({dt:.1f}s)"
         )
 
-        # failure recovery: rolling 'latest' checkpoint (resume target);
-        # the reference only ever writes best_model (pcs.py:371-382)
-        if (
-            t_cfg.save_latest_every > 0
-            and (epoch + 1) % t_cfg.save_latest_every == 0
-        ):
-            save_checkpoint(
-                os.path.join(t_cfg.checkpoint_dir, "latest"),
-                state,
-                metadata={"epoch": epoch, "num_classes": num_classes,
-                          "config": cfg.to_dict()},
-            )
-
         # best-model selection (pcs.py:359-369)
         improved = False
         if f1_target > best_f1_target:
@@ -302,9 +307,32 @@ def train_model(
         else:
             patience_counter += 1
             log(f"no improvement for {patience_counter}/{t_cfg.patience} epochs")
-            if patience_counter >= t_cfg.patience:   # pcs.py:388-391
-                log("early stopping")
-                break
+
+        # failure recovery: rolling 'latest' checkpoint (resume target).
+        # Written AFTER selection so the stored selection state includes
+        # this epoch — a resumed run continues seamlessly.
+        if (
+            t_cfg.save_latest_every > 0
+            and (epoch + 1) % t_cfg.save_latest_every == 0
+        ):
+            save_checkpoint(
+                os.path.join(t_cfg.checkpoint_dir, "latest"),
+                state,
+                metadata={
+                    "epoch": epoch,
+                    "num_classes": num_classes,
+                    "class_weights": class_weights.tolist(),
+                    "config": cfg.to_dict(),
+                    "best_f1_target": best_f1_target,
+                    "best_val_loss": best_val_loss,
+                    "best_epoch": best_epoch,
+                    "patience_counter": patience_counter,
+                },
+            )
+
+        if patience_counter >= t_cfg.patience:   # pcs.py:388-391
+            log("early stopping")
+            break
 
     metrics_logger.close()
     return TrainResult(

@@ -175,3 +175,68 @@ def test_predictor_padding_invariant(tmp_path, small_events):
         np.testing.assert_array_equal(
             p_padded.predict(event), p_tight.predict(event)
         )
+
+
+def test_resume_restores_selection_state(tmp_path, small_events):
+    """A resumed run must not overwrite a better best checkpoint with a
+    worse epoch, and the early-stop clock must keep counting: the 'latest'
+    checkpoint carries best_f1_target / best_val_loss / patience_counter
+    and train_model restores them."""
+    from pcseg_tpu.api import ArrayDataset
+    from pcseg_tpu.core.config import Config
+    from pcseg_tpu.train.loop import train_model
+
+    cfg = Config()
+    cfg.data.batch_size = 8
+    cfg.data.buckets = (512,)
+    cfg.train.num_epochs = 1
+    cfg.train.checkpoint_dir = str(tmp_path)
+    ds = ArrayDataset(small_events)
+    train_model(cfg, ds, log=lambda *a: None)
+
+    latest = str(tmp_path / "latest")
+    raw, meta = load_checkpoint(latest)
+    assert {"best_f1_target", "best_val_loss", "best_epoch",
+            "patience_counter"} <= meta.keys()
+
+    # Doctor the selection state to an unbeatable best so the next epoch
+    # is guaranteed "worse" — the resumed run must leave best_model alone.
+    meta["best_f1_target"] = 0.99
+    meta["best_val_loss"] = 0.0
+    meta["patience_counter"] = 2
+    save_checkpoint(latest, raw, meta)
+    _, best_meta_before = load_checkpoint(str(tmp_path / "best_model"))
+
+    cfg.train.num_epochs = 2
+    res = train_model(cfg, ds, resume_from=latest, log=lambda *a: None)
+    assert res.best_f1_target == 0.99          # restored, not reset to 0
+    assert res.best_epoch == 0                 # unchanged
+    _, best_meta_after = load_checkpoint(str(tmp_path / "best_model"))
+    assert best_meta_after == best_meta_before  # best NOT overwritten
+    # patience kept counting: 2 restored + 1 non-improving epoch
+    _, latest_meta = load_checkpoint(latest)
+    assert latest_meta["patience_counter"] == 3
+
+
+def test_cli_train_resume(tmp_path, small_events):
+    """--resume on the CLI train subcommand continues a run end-to-end."""
+    import json
+
+    from pcseg_tpu.cli import main
+    from pcseg_tpu.data.hdf5 import write_event_files
+
+    data = str(tmp_path / "d.h5")
+    labels = str(tmp_path / "l.h5")
+    write_event_files(data, labels, small_events)
+    ckdir = str(tmp_path / "ck")
+    common = [
+        "train", "--data", data, "--labels", labels,
+        "data.batch_size=8", "data.buckets=512",
+        f"train.checkpoint_dir={ckdir}",
+    ]
+    assert main(common + ["train.num_epochs=1"]) == 0
+    assert main(
+        common + ["train.num_epochs=2", "--resume", "auto"]
+    ) == 0
+    _, meta = load_checkpoint(str(tmp_path / "ck" / "latest"))
+    assert meta["epoch"] == 1  # resumed into epoch 2, not restarted
