@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from pcseg_tpu.ops.batchnorm import EPS, MOMENTUM
 from pcseg_tpu.ops.pallas.fused_block import fused_block
+from pcseg_tpu.ops.pallas.fused_pool import fused_global_pool
 
 # chain order: (conv name, bn-of-INPUT name or None)
 _ENCODER_CHAIN = [
@@ -171,16 +172,16 @@ def pointnet_apply_fused(
         saved[conv] = (h, stats)
         h, stats = y, (s1, s2)
 
-    # --- global pool (XLA glue): normalize+relu the global_feat output,
-    # max over the point axis (includes padding — pcs.py:114)
+    # --- global pool: ONE fused normalize+relu+segment-max kernel over the
+    # bf16 activations (pcs.py:114; includes padding). The XLA formulation
+    # materialized (N, 1024) f32 tensors in fwd AND bwd (~2.5 GB/step of
+    # HBM traffic at B64xM2048) — the fused op's VJP is closed-form on
+    # (B, 1024) arrays plus one write-only scatter (ops/pallas/fused_pool).
     mu_g, inv_g, _ = _stats_to_norm(*stats, nf)
-    yg = h.astype(jnp.float32)
-    zg = jnp.maximum(
-        (yg - mu_g) * inv_g * params["bn_global"]["scale"]
-        + params["bn_global"]["bias"],
-        0.0,
-    )
-    g = jnp.max(zg.reshape(b_, m_, -1), axis=1)          # (B, 1024)
+    g = fused_global_pool(
+        h, mu_g, inv_g,
+        params["bn_global"]["scale"], params["bn_global"]["bias"], m_,
+    )                                                    # (B, 1024)
 
     # --- head; seg1 via the split-matmul trick
     w_seg1 = params["seg_conv1"]["kernel"]               # (1088, 512)
