@@ -32,5 +32,10 @@ def global_max_pool(
         x = jnp.where(mask[..., None], x, neg)
     out = jnp.max(x, axis=1)
     if point_axis_name is not None:
-        out = jax.lax.pmax(out, point_axis_name)
+        # differentiable cross-shard max: pmax has no VJP, so gather the
+        # per-shard maxima (tiny (B, C) arrays) and reduce — the max VJP
+        # then routes gradient to the winning shard through all_gather's
+        # transpose
+        gathered = jax.lax.all_gather(out, point_axis_name, axis=0)
+        out = jnp.max(gathered, axis=0)
     return out

@@ -75,3 +75,49 @@ def test_dp_times_sp_mesh(small_events):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
         )
+
+
+def test_sp_train_step_matches_single_device(small_events):
+    """A 2x4 (data x model) SP train step reproduces single-device params
+    — the SP analog of test_dp8_matches_single_device."""
+    import optax
+
+    from pcseg_tpu.parallel.sp import make_sp_train_step
+    from pcseg_tpu.train.steps import create_train_state, make_train_step
+
+    model = PointNetSeg(num_classes=4, dropout=0.0)
+    tx = optax.identity()  # param delta IS the gradient
+    cw = jnp.asarray([0.3, 0.3, 2.8, 0.6])
+    points, labels, masks = pad_events(small_events[:4], 512, 4)
+    batch = (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
+
+    mesh24 = make_mesh(MeshSpec(data=2, model=4))
+    s_sp = create_train_state(model, jax.random.key(0), tx)
+    sp_step = make_sp_train_step(
+        model, tx, mesh24, sync_batchnorm=True, donate=False
+    )
+    n_sp, m_sp = sp_step(
+        s_sp, batch, jnp.float32(1e-3), jax.random.key(9), cw
+    )
+
+    mesh1 = make_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+    s_1 = create_train_state(model, jax.random.key(0), tx)
+    step1 = make_train_step(
+        model, tx, mesh1, sync_batchnorm=False, donate=False
+    )
+    n_1, m_1 = step1(s_1, batch, jnp.float32(1e-3), jax.random.key(9), cw)
+
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_1["loss"]), rtol=1e-5
+    )
+    assert float(m_sp["correct"]) == float(m_1["correct"])
+    for a, b in zip(jax.tree.leaves(n_sp.params), jax.tree.leaves(n_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )
+    for a, b in zip(
+        jax.tree.leaves(n_sp.batch_stats), jax.tree.leaves(n_1.batch_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
