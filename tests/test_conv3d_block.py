@@ -1,0 +1,125 @@
+"""Parity tests for the lane-packed fused conv3d block kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcseg_tpu.ops.conv3d import group_norm
+from pcseg_tpu.ops.pallas.conv3d_block import (
+    _conv_ref,
+    fold_gn,
+    fused_conv3x3,
+    grid_group_stats,
+    pack_weights,
+)
+
+DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "c,d,h,w", [(16, 4, 8, 16), (32, 4, 8, 8), (64, 3, 4, 4), (128, 2, 4, 2)]
+)
+def test_pack_weights_matches_dense_conv(c, d, h, w):
+    rng = np.random.default_rng(0)
+    x = _rand(rng, 2, d, h, w, c)
+    wt = _rand(rng, 3, 3, 3, c, c) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, wt, (1, 1, 1), "SAME", dimension_numbers=DN
+    )
+    wm, we = pack_weights(wt)
+    p = 128 // c
+    xv = x.reshape(2, d, h, w // p, 128)
+    xp = jnp.pad(xv, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    pm = jnp.concatenate(
+        [xp[:, dz : dz + d, dy : dy + h] for dz in range(3) for dy in range(3)],
+        axis=-1,
+    )
+    zrow = jnp.zeros_like(xv[:, :, :, :1, -c:])
+    left = jnp.concatenate([zrow, xv[:, :, :, :-1, -c:]], axis=3)
+    right = jnp.concatenate([xv[:, :, :, 1:, :c], zrow], axis=3)
+    lp = jnp.pad(left, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    rp = jnp.pad(right, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    pe = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [lp[:, dz : dz + d, dy : dy + h], rp[:, dz : dz + d, dy : dy + h]],
+                axis=-1,
+            )
+            for dz in range(3)
+            for dy in range(3)
+        ],
+        axis=-1,
+    )
+    got = (
+        pm.reshape(-1, 9 * 128) @ wm + pe.reshape(-1, 18 * c) @ we
+    ).reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+@pytest.mark.parametrize("c,d,h,w", [(16, 4, 8, 16), (32, 3, 4, 8), (64, 3, 4, 4)])
+@pytest.mark.parametrize("activate", [True, False])
+def test_fused_kernel_matches_reference(c, d, h, w, activate):
+    rng = np.random.default_rng(1)
+    b = 2
+    x = _rand(rng, b, d, h, w, c).astype(jnp.bfloat16)
+    wt = _rand(rng, 3, 3, 3, c, c) * 0.1
+    bias = _rand(rng, c) * 0.1
+    # contract: scale/shift are per-lane but C-periodic (folded GroupNorm)
+    scale = jnp.tile(jnp.abs(_rand(rng, b, c)) * 0.5 + 0.5, (1, 128 // c))
+    shift = jnp.tile(_rand(rng, b, c) * 0.1, (1, 128 // c))
+
+    y = fused_conv3x3(x, wt, bias, scale, shift, activate, True)
+    ref = _conv_ref(x, wt, bias, scale, shift, activate=activate)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref, np.float32),
+        atol=0.15, rtol=0.05,
+    )
+
+
+def test_fused_kernel_gradients_match_reference():
+    rng = np.random.default_rng(2)
+    b, d, h, w, c = 2, 3, 4, 16, 16
+    x = _rand(rng, b, d, h, w, c).astype(jnp.bfloat16)
+    wt = _rand(rng, 3, 3, 3, c, c) * 0.1
+    bias = _rand(rng, c) * 0.1
+    scale = jnp.tile(jnp.abs(_rand(rng, b, c)) * 0.5 + 0.5, (1, 128 // c))
+    shift = jnp.tile(_rand(rng, b, c) * 0.1, (1, 128 // c))
+    g = _rand(rng, b, d, h, w, c)
+
+    def f_fused(x, wt, bias, scale, shift):
+        y = fused_conv3x3(x, wt, bias, scale, shift, True, True)
+        return jnp.sum(y.astype(jnp.float32) * g)
+
+    def f_ref(x, wt, bias, scale, shift):
+        y = _conv_ref(x, wt, bias, scale, shift, activate=True)
+        return jnp.sum(y.astype(jnp.float32) * g)
+
+    gf = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(x, wt, bias, scale, shift)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x, wt, bias, scale, shift)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=1e-3, rtol=1e-3,
+        )
+
+
+def test_fold_gn_matches_group_norm():
+    rng = np.random.default_rng(3)
+    b, c, groups = 2, 16, 8
+    y = _rand(rng, b, 4, 4, 8, c)
+    gn = {"scale": jnp.abs(_rand(rng, c)) + 0.5, "bias": _rand(rng, c) * 0.2}
+    mean, var = grid_group_stats(y, groups)
+    scale, shift = fold_gn(mean, var, gn["scale"], gn["bias"], groups)
+    got = jnp.maximum(
+        y * scale[:, None, None, None, :c] + shift[:, None, None, None, :c],
+        0.0,
+    )
+    want = jnp.maximum(group_norm(gn, y, groups=groups), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
