@@ -196,3 +196,56 @@ def bench_pallas():
 
 if __name__ == "__main__":
     bench_pallas()
+
+
+def bench_bwd():
+    from pcseg_tpu.ops.pallas.conv3d_block import _conv_ref, fused_conv3x3
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(B, R, R, R, C)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, C)) * 0.05, jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32)
+    scale = jnp.ones((B, 128), jnp.float32)
+    shift = jnp.zeros((B, 128), jnp.float32)
+
+    def dep(grads, x):
+        return x + sum(
+            jnp.sum(g).astype(jnp.float32) for g in jax.tree.leaves(grads)
+        ).astype(x.dtype) * 1e-6
+
+    def loss_fused(x):
+        y = fused_conv3x3(x, w, bias, scale, shift, True, False)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_ref(x):
+        y = _conv_ref(x, w, bias, scale, shift, activate=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_fused_w(x):
+        y = fused_conv3x3(x, w, bias, scale, shift, True, False)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def grad_all(loss):
+        def f(x):
+            l2 = lambda xx: loss(xx)
+            gx = jax.grad(lambda xx, ww, bb, sc, sh: jnp.sum(
+                (fused_conv3x3(xx, ww, bb, sc, sh, True, False)
+                 if loss is loss_fused else
+                 _conv_ref(xx, ww, bb, sc, sh, activate=True)
+                 ).astype(jnp.float32) ** 2
+            ), argnums=(0, 1, 2, 3, 4))(x, w, bias, scale, shift)
+            return gx
+        return f
+
+    for name, fn in [
+        ("pallas fwd+bwd(x)", jax.grad(loss_fused)),
+        ("xla ref fwd+bwd(x)", jax.grad(loss_ref)),
+        ("pallas fwd+bwd all", grad_all(loss_fused)),
+        ("xla ref fwd+bwd all", grad_all(loss_ref)),
+    ]:
+        t = timed(lambda x, fn=fn: dep(fn(x), x), x0)
+        print(f"{name:20s} {t:8.3f} ms")
+
+
+if __name__ == "__main__":
+    bench_bwd()

