@@ -67,7 +67,11 @@ def bench(b, npts, r, w, levels, remat, impl):
 
     def fb(p):
         gr = g(variables["params"], p)
-        return p + jax.tree.leaves(gr)[0].mean() * 1e-6
+        # depend on EVERY gradient leaf — using only one lets XLA
+        # dead-code-eliminate the rest of the backward
+        tot = sum(jnp.sum(x).astype(jnp.float32)
+                  for x in jax.tree.leaves(gr))
+        return p + tot.astype(p.dtype) * 1e-9
 
     t = timed(fb, pts)
     tag = f"B{b} R{r} w{w} L{levels}{' remat' if remat else ''} {impl}"

@@ -22,9 +22,10 @@ def build_model(cfg: ModelConfig, num_classes: int):
             bn_stats=cfg.bn_stats,
         )
     if cfg.name == "voxel_unet3d":
-        # cfg.impl doubles as the conv implementation here: "fused" ->
-        # lane-packed Pallas blocks; anything else (incl. the sparse
-        # family's "dense" default) -> XLA conv_general_dilated
+        # cfg.impl doubles as the conv implementation here: "fused" or
+        # "xla" force a core; the sparse family's "dense" default maps to
+        # "auto" (fused Pallas blocks whenever bf16 + packing constraints
+        # hold, XLA conv_general_dilated otherwise)
         return VoxelUNet3d(
             num_classes=num_classes,
             input_dim=cfg.input_dim,
@@ -33,7 +34,7 @@ def build_model(cfg: ModelConfig, num_classes: int):
             levels=cfg.levels or 3,
             remat=cfg.remat,
             compute_dtype=cfg.compute_dtype,
-            conv_impl="fused" if cfg.impl == "fused" else "xla",
+            conv_impl=(cfg.impl if cfg.impl in ("fused", "xla") else "auto"),
         )
     if cfg.name == "sparse_voxelnet":
         return SparseVoxelNet(

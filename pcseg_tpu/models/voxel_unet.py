@@ -48,12 +48,13 @@ class VoxelUNet3d:
     # trades ~1 extra forward of FLOPs for dropping all intermediate
     # grids from HBM — enables 128^3+ training configs
     remat: bool = False
-    # conv implementation: "xla" (conv_general_dilated) or "fused"
+    # conv implementation: "xla" (conv_general_dilated), "fused"
     # (lane-packed Pallas block-matmul kernels with the GroupNorm+ReLU
-    # prologue fused in — ops/pallas/conv3d_block.py; ~3.4x faster
-    # fwd+bwd at U-Net widths, requires bfloat16 compute and
-    # width * 2^level dividing 128)
-    conv_impl: str = "xla"
+    # prologue and next-GN stats fused in — ops/pallas/conv3d_block.py;
+    # measured 1.5x at 64^3/B8 and 3.0x at 128^3/remat full train step,
+    # requires bfloat16 compute and width * 2^level dividing 128), or
+    # "auto" (fused whenever those conditions hold)
+    conv_impl: str = "auto"
     # unused knobs kept for duck-type compatibility with PointNetSeg
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -61,6 +62,16 @@ class VoxelUNet3d:
     @property
     def in_channels(self) -> int:
         return self.input_dim - 3 + 1   # features + occupancy
+
+    def _fused_ok(self) -> bool:
+        """Packing constraints of the fused Pallas core (channels divide
+        128 lanes; each level's grid edge splits into whole lane blocks)."""
+        for i in range(self.levels):
+            wi = self.width * (2 ** i)
+            ri = self.grid_size // (2 ** i)
+            if 128 % wi or ri % (128 // wi) or ri < 2:
+                return False
+        return True
 
     def init(self, key: jax.Array) -> dict:
         keys = iter(jax.random.split(key, 64))
@@ -106,7 +117,12 @@ class VoxelUNet3d:
         grid = voxelize(points, mask, self.grid_size)
 
         core = self._unet_core
-        if self.conv_impl == "fused":
+        impl = self.conv_impl
+        if impl == "auto":
+            impl = "fused" if (
+                dt == jnp.bfloat16 and self._fused_ok()
+            ) else "xla"
+        if impl == "fused":
             if dt != jnp.bfloat16:
                 raise ValueError(
                     "conv_impl='fused' requires compute_dtype='bfloat16' "
@@ -114,7 +130,7 @@ class VoxelUNet3d:
                     f"{self.compute_dtype!r}"
                 )
             core = self._unet_core_fused
-        elif self.conv_impl != "xla":
+        elif impl != "xla":
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
         if self.remat:
             core = jax.checkpoint(core, static_argnums=())
@@ -172,9 +188,24 @@ class VoxelUNet3d:
                 st, gn["scale"], gn["bias"], groups, rs[lv] ** 3
             )
 
-        raw = conv3d(p["stem"], x, compute_dtype=dt).astype(dt)
-        xp, meta = pack_grid(raw)
-        sc, sh = fold(packed_stats(xp), "stem_gn", 0)
+        # stem through the fused kernel too (XLA's 2->16 conv at 64^3 was
+        # the single slowest piece, ~12 ms f+b): zero-pad input channels
+        # to width and embed the (3,3,3,cin,w0) weight in a square zero
+        # kernel — the pad columns contribute nothing, grads flow only to
+        # the real slice
+        cin = x.shape[-1]
+        w0 = widths[0]
+        b = x.shape[0]
+        xp, meta = pack_grid(
+            jnp.pad(x.astype(dt), ((0, 0),) * 4 + ((0, w0 - cin),))
+        )
+        kstem = jnp.zeros((3, 3, 3, w0, w0), jnp.float32)
+        kstem = kstem.at[..., :cin, :].set(p["stem"]["kernel"])
+        zeros = jnp.zeros((b, 128), jnp.float32)
+        xp, st = fused_conv3x3_p(
+            xp, kstem, p["stem"]["bias"], zeros, zeros, meta, False, True,
+        )
+        sc, sh = fold(st, "stem_gn", 0)
         skips = []
         for i in range(self.levels):
             xp, st = fused_conv3x3_p(
