@@ -41,10 +41,15 @@ class SparseVoxelNet:
     depth: int = 4              # submanifold conv blocks
     max_active: int = 8192      # static active-site capacity per event
     compute_dtype: str = "float32"
-    # "dense": submanifold semantics via occupancy-masked dense conv3d —
-    # 2x faster on TPU at LArTPC occupancies (per-row gathers serialize;
-    # BASELINE.md). "gather": the classic rulebook gather formulation.
+    # "block": dense conv on occupied 8^3 tiles (ops/block_sparse.py) —
+    # fastest at LArTPC occupancies (2.7 ms vs 7.0 masked-dense vs 29.9
+    # gather fwd at R64/C64, BASELINE.md r2). "dense": submanifold
+    # semantics via occupancy-masked dense conv3d. "gather": the classic
+    # rulebook gather formulation (per-row gathers serialize on TPU).
     impl: str = "dense"
+    # block impl: static per-event occupied-tile capacity and tile edge
+    max_tiles: int = 128
+    tile: int = 8
     # U-Net hierarchy (dense impl only): levels > 1 adds stride-2
     # downsampling stages whose occupancy is the 2^3-pooled active set,
     # with skip connections back up — a sparse U-Net where every
@@ -112,6 +117,9 @@ class SparseVoxelNet:
         if self.impl == "dense":
             logits = self._apply_dense(p, grid, points, mask, dt)
             return (logits, {}) if train else logits
+        if self.impl == "block":
+            logits = self._apply_block(p, grid, points, mask, dt)
+            return (logits, {}) if train else logits
         sp = sparse_from_grid(grid, self.max_active)
 
         x = sp.feats.astype(dt)
@@ -138,6 +146,32 @@ class SparseVoxelNet:
         if train:
             return logits, {}
         return logits
+
+    def _apply_block(self, p, grid, points, mask, dt):
+        """Block-sparse path: dense conv on occupied tiles only (same
+        params as the other impls; values at active sites identical)."""
+        from pcseg_tpu.ops.block_sparse import (
+            block_gather_point_logits,
+            block_sparse_from_grid,
+            block_subm_conv,
+        )
+
+        bs = block_sparse_from_grid(grid, self.max_tiles, self.tile)
+        x = bs.feats.astype(dt)
+        for i in range(self.depth):
+            y = block_subm_conv(p[f"conv{i}"], bs, feats=x, compute_dtype=dt)
+            y = self._ln_relu_mask(y, p[f"ln{i}"], bs.active).astype(dt)
+            x = y if i == 0 else (x + y)
+        site_logits = (
+            jax.lax.dot_general(
+                x.astype(dt),
+                p["head"]["kernel"].astype(dt),
+                dimension_numbers=(((5,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + p["head"]["bias"]
+        ).astype(jnp.float32)
+        return block_gather_point_logits(site_logits, bs, points, mask)
 
     @staticmethod
     def _ln_relu_mask(y, ln, active):

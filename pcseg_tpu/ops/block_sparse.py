@@ -1,0 +1,225 @@
+"""Block-sparse submanifold 3D convolution — dense conv on occupied tiles.
+
+North-star sparse path, round-2 design (VERDICT.md "block-sparse
+submanifold conv"; concept: partition the R^3 grid into t^3 tiles and
+convolve only occupied tiles — Graham et al. submanifold sparsity at
+tile granularity, cf. PAPERS.md).
+
+Why tiles on TPU: the classic per-site gather rulebook (ops/sparse.py
+``subm_conv``) loses to a masked dense conv because per-row gathers of
+C-wide feature rows serialize (31.6 vs 14.3 ms at R=64/C=64 —
+BASELINE.md). At tile granularity each gathered row is a whole t^3 x C
+feature block (16 KB at t=8/C=16 bf16, 64 KB at C=64), which DMAs at
+full HBM bandwidth, and the conv itself is a dense VALID conv over
+(n_tiles, t+2, t+2, t+2, C) — regular MXU work proportional to the
+OCCUPIED volume, not R^3.
+
+Static-shape, host-free formulation (same philosophy as ops/sparse.py):
+- occupied tiles are extracted to a fixed ``max_tiles`` capacity per
+  event with ``jnp.nonzero(size=...)``;
+- a dense (T^3+1,) lookup maps tile id -> slot, so the "rulebook" for
+  the 27 neighbor tiles is one vectorized gather;
+- the halo exchange is: gather the 27 neighbor tile blocks, lay them
+  out as a (3t)^3 supertile, slice the centered (t+2)^3 halo.
+- Submanifold semantics: outputs are masked to the per-voxel active
+  set, so stacked layers never grow the occupied set and values at
+  active sites equal ``subm_conv_dense`` (ops/sparse.py) exactly.
+
+Everything is per-event and vmapped over the batch. Reference
+counterpart: none (the reference has no sparse path; this serves
+BASELINE.json's "sparse submanifold" north-star component).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.ops.voxel import VoxelGrid, voxel_indices
+
+
+class BlockSparseVoxels(NamedTuple):
+    tile_ijk: jax.Array   # (B, NT, 3) int32 tile coords in the T^3 tile grid
+    feats: jax.Array      # (B, NT, t, t, t, C) tile feature blocks
+    active: jax.Array     # (B, NT, t, t, t) bool per-voxel occupancy
+    tile_mask: jax.Array  # (B, NT) bool — real tile vs capacity padding
+    lookup: jax.Array     # (B, T^3+1) int32 tile id -> slot, -1 empty
+    grid_size: int        # static R
+    tile: int             # static t
+
+
+def block_sparse_from_grid(
+    grid: VoxelGrid, max_tiles: int, tile: int = 8
+) -> BlockSparseVoxels:
+    """Extract occupied t^3 tiles from a dense VoxelGrid (capacity-capped).
+
+    A tile is occupied iff any of its voxels has points. Tiles beyond
+    ``max_tiles`` are dropped (pick capacity from the data's tile-
+    occupancy distribution; LArTPC tracks at R=64/t=8 occupy ~10-25% of
+    the 512 tiles).
+    """
+    b, r = grid.features.shape[0], grid.features.shape[1]
+    c = grid.features.shape[-1]
+    t = tile
+    if r % t:
+        raise ValueError(f"grid {r} not divisible by tile {t}")
+    nt = r // t
+    nt3 = nt * nt * nt
+
+    # tile-blocked relayout: (B, T, t, T, t, T, t, C) -> (B, T^3, t^3, C)
+    blocked = grid.features.reshape(b, nt, t, nt, t, nt, t, c)
+    blocked = blocked.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    flat_feats = blocked.reshape(b, nt3, t, t, t, c)
+    occ = (grid.counts > 0).reshape(b, nt, t, nt, t, nt, t)
+    occ = occ.transpose(0, 1, 3, 5, 2, 4, 6)
+    flat_occ = occ.reshape(b, nt3, t, t, t)
+    tile_occ = flat_occ.reshape(b, nt3, -1).any(axis=-1)
+
+    def one(occ_e, feats_e, act_e):
+        (ids,) = jnp.nonzero(occ_e, size=max_tiles, fill_value=nt3)
+        tmask = ids < nt3
+        safe = jnp.where(tmask, ids, 0)
+        feats = jnp.where(tmask[:, None, None, None, None], feats_e[safe], 0.0)
+        active = jnp.where(tmask[:, None, None, None], act_e[safe], False)
+        i = safe // (nt * nt)
+        j = (safe // nt) % nt
+        k = safe % nt
+        ijk = jnp.stack([i, j, k], axis=-1).astype(jnp.int32)
+        lookup = (
+            jnp.full((nt3 + 1,), -1, jnp.int32)
+            .at[jnp.where(tmask, ids, nt3)]
+            .set(jnp.arange(max_tiles, dtype=jnp.int32))
+        )
+        lookup = lookup.at[nt3].set(-1)
+        return ijk, feats, active, tmask, lookup
+
+    ijk, feats, active, tmask, lookup = jax.vmap(one)(
+        tile_occ, flat_feats, flat_occ
+    )
+    return BlockSparseVoxels(ijk, feats, active, tmask, lookup, r, t)
+
+
+def _tile_deltas() -> jnp.ndarray:
+    return jnp.asarray(
+        [[dz, dy, dx]
+         for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        jnp.int32,
+    )
+
+
+def _gather_halo(bs: BlockSparseVoxels, feats: jax.Array) -> jax.Array:
+    """(B, NT, t+2, t+2, t+2, C) halo blocks via sliced neighbor gathers.
+
+    feats: (B, NT, t, t, t, C) current layer features (may differ from
+    bs.feats in C). Capacity-padding and out-of-grid neighbors read the
+    all-zero sentinel row.
+
+    Each of the 26 neighbor deltas gathers only the sub-block the halo
+    actually needs (face t^2, edge t, corner 1 voxel columns) from a
+    pre-sliced table, and the center block is the tile itself (no
+    gather) — assembling full 3^3 neighbor supertiles first was 13.8x
+    the halo volume in HBM traffic (measured 17.7 ms vs 6.9 dense at
+    R=64/C=64; this form moves ~halo-sized data only).
+    """
+    t = bs.tile
+    nt = bs.grid_size // t
+    nt3 = nt * nt * nt
+    deltas = _tile_deltas()                              # (27, 3)
+
+    def sl(d):
+        return {-1: slice(t - 1, t), 0: slice(None), 1: slice(0, 1)}[d]
+
+    def one(ijk, f, lookup, tmask):
+        nijk = ijk[:, None, :] + deltas[None, :, :]      # (NT, 27, 3)
+        inb = jnp.all((nijk >= 0) & (nijk < nt), axis=-1) & tmask[:, None]
+        nflat = (nijk[..., 0] * nt + nijk[..., 1]) * nt + nijk[..., 2]
+        slot = lookup[jnp.where(inb, nflat, nt3)]        # (NT, 27), -1 empty
+        # sentinel row 0 of each padded table is zeros; shift slots by +1
+        fpad = jnp.concatenate([jnp.zeros_like(f[:1]), f], axis=0)
+        parts_z = []
+        for iz, dz in enumerate((-1, 0, 1)):
+            parts_y = []
+            for iy, dy in enumerate((-1, 0, 1)):
+                parts_x = []
+                for ix, dx in enumerate((-1, 0, 1)):
+                    if dz == dy == dx == 0:
+                        parts_x.append(f)
+                        continue
+                    d_idx = iz * 9 + iy * 3 + ix
+                    src = fpad[:, sl(dz), :, :][:, :, sl(dy)][:, :, :, sl(dx)]
+                    parts_x.append(src[slot[:, d_idx] + 1])
+                parts_y.append(jnp.concatenate(parts_x, axis=3))
+            parts_z.append(jnp.concatenate(parts_y, axis=2))
+        return jnp.concatenate(parts_z, axis=1)
+
+    return jax.vmap(one)(bs.tile_ijk, feats, bs.lookup, bs.tile_mask)
+
+
+def block_subm_conv(
+    p: dict,
+    bs: BlockSparseVoxels,
+    feats: jax.Array | None = None,
+    compute_dtype=None,
+) -> jax.Array:
+    """Submanifold 3^3 conv on occupied tiles: (B, NT, t,t,t, Cin) ->
+    (B, NT, t,t,t, Cout), masked to the active voxel set.
+
+    Same parameter pytree as ``subm_conv_init`` (kernel (27, Cin, Cout) +
+    bias) so the three sparse impls share weights; values at active sites
+    match ``subm_conv_dense`` (tested).
+    """
+    if feats is None:
+        feats = bs.feats
+    dt = compute_dtype or feats.dtype
+    b, ntiles, t = feats.shape[0], feats.shape[1], bs.tile
+    k3, cin, cout = p["kernel"].shape
+    k = round(k3 ** (1 / 3))
+    if k != 3:
+        raise ValueError("block_subm_conv supports 3^3 kernels")
+    halo = _gather_halo(bs, feats)                       # (B, NT, t+2,^3, Cin)
+    kern = p["kernel"].reshape(k, k, k, cin, cout)
+    # no explicit f32 output type: mixed-dtype cotangents break the conv
+    # transpose under autodiff (same constraint as ops/conv3d.py); the
+    # MXU accumulates in f32 regardless
+    y = jax.lax.conv_general_dilated(
+        halo.reshape(b * ntiles, t + 2, t + 2, t + 2, cin).astype(dt),
+        kern.astype(dt),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ).astype(jnp.float32).reshape(b, ntiles, t, t, t, cout) + p["bias"]
+    return jnp.where(bs.active[..., None], y, 0.0)
+
+
+def block_gather_point_logits(
+    site_values: jax.Array,
+    bs: BlockSparseVoxels,
+    points: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Per-point readout from tile blocks (sparse devoxelize, nearest):
+    each point reads its voxel's value; points in dropped/unoccupied
+    tiles get zeros."""
+    t = bs.tile
+    nt = bs.grid_size // t
+    nt3 = nt * nt * nt
+    flat, _, _ = voxel_indices(points[..., :3], mask, bs.grid_size)
+    r = bs.grid_size
+
+    def one(vals, lookup, flat_e):
+        # flat voxel id -> (tile id, intra-tile id); out-of-grid spill
+        # (flat == R^3) maps to the lookup sentinel
+        i, j, k = flat_e // (r * r), (flat_e // r) % r, flat_e % r
+        tid = ((i // t) * nt + (j // t)) * nt + (k // t)
+        tid = jnp.where(flat_e >= r * r * r, nt3, tid)
+        slot = lookup[tid]                               # (M,), -1 if no tile
+        ok = slot >= 0
+        vt = vals.reshape(vals.shape[0], t * t * t, -1)
+        intra = ((i % t) * t + (j % t)) * t + (k % t)
+        out = vt[jnp.maximum(slot, 0), intra]
+        return jnp.where(ok[:, None], out, 0.0)
+
+    out = jax.vmap(one)(site_values, bs.lookup, flat)
+    return jnp.where(mask[..., None], out, 0.0)

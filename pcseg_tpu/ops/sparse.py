@@ -136,24 +136,26 @@ def subm_conv_dense(
     set, so stacked layers never grow the occupied set — identical values
     at active sites to the gather formulation (``subm_conv``).
 
-    Why it exists: on TPU, per-row gathers serialize — measured 31.6 ms
-    for the 27-offset gather at A=8192 sites vs 14.3 ms for the whole
+    Why it exists: on TPU, per-row gathers serialize — measured 29.9 ms
+    for the 27-offset gather at A=8192 sites vs 7.0 ms for the whole
     dense conv at R=64 (BASELINE.md). Random access loses to dense MXU
     work at LArTPC-like occupancies; the gather path remains for
-    accelerators/occupancies where it wins.
+    accelerators/occupancies where it wins. The block-sparse impl
+    (ops/block_sparse.py) beats both at low occupancy (2.7 ms).
     """
     dt = compute_dtype or grid_feats.dtype
     k3, cin, cout = p["kernel"].shape
     k = round(k3 ** (1 / 3))
     kern = p["kernel"].reshape(k, k, k, cin, cout)
+    # no explicit f32 output type: mixed-dtype cotangents break the conv
+    # transpose under autodiff (same constraint as ops/conv3d.py)
     y = jax.lax.conv_general_dilated(
         grid_feats.astype(dt),
         kern.astype(dt),
         window_strides=(1, 1, 1),
         padding="SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ) + p["bias"]
+    ).astype(jnp.float32) + p["bias"]
     return jnp.where(active[..., None], y, 0.0)
 
 

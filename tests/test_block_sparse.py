@@ -1,0 +1,172 @@
+"""Block-sparse submanifold conv: parity vs the masked-dense impl."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcseg_tpu.ops.block_sparse import (
+    BlockSparseVoxels,
+    block_gather_point_logits,
+    block_sparse_from_grid,
+    block_subm_conv,
+)
+from pcseg_tpu.ops.sparse import subm_conv_dense, subm_conv_init
+from pcseg_tpu.ops.voxel import voxelize
+
+
+def _event_batch(rng, b=2, m=256, track=True):
+    """LArTPC-ish: points along a few random line segments."""
+    pts = []
+    for _ in range(b):
+        if track:
+            k = 3
+            seg = []
+            for _ in range(k):
+                a, d = rng.random(3), rng.normal(size=3)
+                s = rng.random((m // k + 1, 1))
+                seg.append(a + s * d * 0.5)
+            p = np.concatenate(seg)[:m]
+        else:
+            p = rng.random((m, 3))
+        e = rng.random((m, 1))
+        pts.append(np.concatenate([p, e], axis=1))
+    pts = jnp.asarray(np.stack(pts), jnp.float32)
+    mask = jnp.asarray(rng.random((b, m)) < 0.95)
+    return pts, mask
+
+
+def _to_dense(bs: BlockSparseVoxels, vals):
+    b, ntiles, t = vals.shape[0], vals.shape[1], bs.tile
+    nt = bs.grid_size // t
+    c = vals.shape[-1]
+
+    def one(ijk, v, tm):
+        v = jnp.where(tm[:, None, None, None, None], v, 0.0)
+        dense = jnp.zeros((nt, nt, nt, t, t, t, c), v.dtype)
+        dense = dense.at[ijk[:, 0], ijk[:, 1], ijk[:, 2]].add(v)
+        return dense.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+            bs.grid_size, bs.grid_size, bs.grid_size, c
+        )
+
+    return jax.vmap(one)(bs.tile_ijk, vals, bs.tile_mask)
+
+
+def test_block_conv_matches_masked_dense():
+    rng = np.random.default_rng(0)
+    pts, mask = _event_batch(rng)
+    grid = voxelize(pts, mask, 16)
+    bs = block_sparse_from_grid(grid, max_tiles=48, tile=4)
+    assert bool(jnp.all(jnp.sum(bs.tile_mask, 1) < 48)), "capacity too small"
+
+    cin = grid.features.shape[-1]
+    p1 = subm_conv_init(jax.random.key(0), cin, 8)
+    p2 = subm_conv_init(jax.random.key(1), 8, 8)
+    active = grid.counts > 0
+
+    # layer 1
+    yb = block_subm_conv(p1, bs)
+    yd = subm_conv_dense(p1, grid.features, active)
+    np.testing.assert_allclose(
+        np.asarray(_to_dense(bs, yb)), np.asarray(yd), atol=1e-4, rtol=1e-4
+    )
+    # layer 2 stacked (submanifold: active set unchanged)
+    yb2 = block_subm_conv(p2, bs, feats=yb)
+    yd2 = subm_conv_dense(p2, yd, active)
+    np.testing.assert_allclose(
+        np.asarray(_to_dense(bs, yb2)), np.asarray(yd2), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_block_capacity_truncation_drops_tiles():
+    rng = np.random.default_rng(1)
+    pts, mask = _event_batch(rng, track=False)   # spread occupancy
+    grid = voxelize(pts, mask, 16)
+    bs_small = block_sparse_from_grid(grid, max_tiles=4, tile=4)
+    # truncated set still well-formed: lookup maps only kept tiles
+    kept = np.asarray(jnp.sum(bs_small.tile_mask, axis=1))
+    assert (kept == 4).all(), kept
+    y = block_subm_conv(
+        subm_conv_init(jax.random.key(0), grid.features.shape[-1], 4), bs_small
+    )
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_block_point_readout():
+    rng = np.random.default_rng(2)
+    pts, mask = _event_batch(rng)
+    grid = voxelize(pts, mask, 16)
+    bs = block_sparse_from_grid(grid, max_tiles=64, tile=4)
+    vals = jnp.asarray(
+        rng.normal(size=bs.feats.shape[:-1] + (5,)), jnp.float32
+    )
+    out = block_gather_point_logits(vals, bs, pts, mask)
+    assert out.shape == pts.shape[:2] + (5,)
+    dense = _to_dense(bs, vals)
+    from pcseg_tpu.ops.voxel import voxel_indices
+
+    flat, _, _ = voxel_indices(pts[..., :3], mask, 16)
+    r3 = 16 ** 3
+    ok = np.asarray(flat < r3) & np.asarray(mask)
+    df = np.asarray(dense).reshape(2, r3, 5)
+    want = np.where(
+        ok[..., None],
+        np.take_along_axis(
+            df, np.minimum(np.asarray(flat), r3 - 1)[..., None], axis=1
+        ),
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
+def test_block_conv_gradients():
+    rng = np.random.default_rng(3)
+    pts, mask = _event_batch(rng)
+    grid = voxelize(pts, mask, 16)
+    bs = block_sparse_from_grid(grid, max_tiles=48, tile=4)
+    p = subm_conv_init(jax.random.key(0), grid.features.shape[-1], 8)
+
+    def loss(pp):
+        return jnp.sum(block_subm_conv(pp, bs) ** 2)
+
+    g = jax.grad(loss)(p)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.sum(jnp.abs(x))) > 0 for x in leaves)
+
+
+def test_sparse_model_block_impl_matches_dense_impl():
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    rng = np.random.default_rng(5)
+    pts, mask = _event_batch(rng)
+    kw = dict(num_classes=4, grid_size=16, width=16, depth=2)
+    m_d = SparseVoxelNet(**kw, impl="dense")
+    m_b = SparseVoxelNet(**kw, impl="block", tile=4, max_tiles=64)
+    v = m_d.init(jax.random.key(0))
+    y_d = m_d.apply(v, pts, mask=mask)
+    y_b = m_b.apply(v, pts, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(y_d), np.asarray(y_b), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_sparse_model_block_impl_trains():
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    rng = np.random.default_rng(6)
+    pts, mask = _event_batch(rng)
+    labels = jnp.asarray(rng.integers(0, 4, size=pts.shape[:2]))
+    m = SparseVoxelNet(num_classes=4, grid_size=16, width=16, depth=2,
+                       impl="block", tile=4, max_tiles=64)
+    v = m.init(jax.random.key(1))
+
+    def loss(params):
+        logits, _ = m.apply({"params": params, "batch_stats": {}},
+                            pts, train=True, mask=mask)
+        oh = jax.nn.one_hot(labels, 4)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+
+    l0, g = jax.value_and_grad(loss)(v["params"])
+    assert np.isfinite(float(l0))
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
