@@ -125,21 +125,20 @@ def devoxelize_nearest(
     return jnp.where(mask[..., None], gathered, 0.0)
 
 
-def devoxelize_trilinear(
-    grid_feats: jax.Array,
-    points: jax.Array,
-    mask: jax.Array,
-    lo: jax.Array,
-    scale: jax.Array,
-) -> jax.Array:
-    """Trilinear interpolation over the 8 voxel centers around each point."""
-    r = grid_feats.shape[1]
+def _trilinear_u(points, mask, lo, scale):
+    """Continuous, centered voxel coords (masked points pinned to 0)."""
     coords = points[..., :3].astype(jnp.float32)
     # continuous voxel coords, centered: voxel i covers [i, i+1), center i+.5
     u = (coords - lo[:, None, :]) * scale[:, None, :] - 0.5
     # masked points must stay finite: their forward value is zeroed below,
     # but a NaN here would poison gradients (0 * NaN in the VJP)
-    u = jnp.where(mask[..., None], u, 0.0)
+    return jnp.where(mask[..., None], u, 0.0)
+
+
+def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
+    """Plain gather composition (XLA autodiff scatters in its VJP)."""
+    r = grid_feats.shape[1]
+    u = _trilinear_u(points, mask, lo, scale)
     i0 = jnp.floor(u)
     frac = u - i0
     i0 = i0.astype(jnp.int32)
@@ -163,3 +162,82 @@ def devoxelize_trilinear(
                 gathered = jax.vmap(lambda g, f: g[f])(flat_grid, flat)
                 out = out + gathered * w[..., None]
     return jnp.where(mask[..., None], out, 0.0)
+
+
+@jax.custom_vjp
+def devoxelize_trilinear(
+    grid_feats: jax.Array,
+    points: jax.Array,
+    mask: jax.Array,
+    lo: jax.Array,
+    scale: jax.Array,
+) -> jax.Array:
+    """Trilinear interpolation over the 8 voxel centers around each point.
+
+    Custom VJP: XLA differentiates the gather composition into an 8-tap
+    scatter-add over the dense grid, which serializes on TPU (measured
+    ~21 ms of a 25.6 ms devox+CE backward at B8 x 8192 pts, R=64 —
+    experiments/bench_unet_glue.py). The trilinear weight factorizes
+    per axis (the fwd clips each axis independently), so
+    ``dgrid = sum_p Wz[p,:] x Wy[p,:] x Wx[p,:] * go[p,:]`` becomes two
+    one-hot expansions and ONE batched MXU contraction
+    ``(zy, p) @ (p, xc)`` — the same one-hot-contraction trick the
+    PointNet pool kernel uses instead of scatters.
+
+    NOTE: gradients flow to ``grid_feats`` only; ``points``/``lo``/
+    ``scale`` get zero cotangents (they are data inputs in every
+    training path — a point-coordinate-optimizing use would need the
+    reference VJP of ``_devoxelize_trilinear_ref``).
+    """
+    return _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale)
+
+
+def _axis_weights(u1, r):
+    """One axis' 2-tap interpolation matrix (B, M, R), clipped like fwd."""
+    i0 = jnp.floor(u1)
+    frac = (u1 - i0).astype(jnp.float32)
+    i0 = i0.astype(jnp.int32)
+    t0 = jnp.clip(i0, 0, r - 1)[..., None]
+    t1 = jnp.clip(i0 + 1, 0, r - 1)[..., None]
+    iota = jnp.arange(r, dtype=jnp.int32)
+    return ((1.0 - frac)[..., None] * (iota == t0)
+            + frac[..., None] * (iota == t1))
+
+
+def _devox_fwd(grid_feats, points, mask, lo, scale):
+    out = _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale)
+    # zero-size token carries the primal's shape/dtype (residuals must be
+    # JAX types, not raw dtypes)
+    token = jnp.zeros(grid_feats.shape[:1] + grid_feats.shape[1:2]
+                      + (0,), grid_feats.dtype)
+    return out, (points, mask, lo, scale, token, grid_feats.shape[-1])
+
+
+def _devox_bwd(res, go):
+    points, mask, lo, scale, token, c = res
+    b, r = token.shape[0], token.shape[1]
+    gdtype = token.dtype
+    u = _trilinear_u(points, mask, lo, scale)
+    go = jnp.where(mask[..., None], go, 0.0)
+    wz = _axis_weights(u[..., 0], r).astype(jnp.bfloat16)   # (B, M, R)
+    wy = _axis_weights(u[..., 1], r).astype(jnp.bfloat16)
+    wx = _axis_weights(u[..., 2], r).astype(jnp.bfloat16)
+    # (B, M, R*R) and (B, M, R*C) expansions, then contract the point axis
+    a = (wz[..., :, None] * wy[..., None, :]).reshape(b, -1, r * r)
+    d1 = (wx[..., :, None] * go.astype(jnp.bfloat16)[..., None, :]
+          ).reshape(b, -1, r * c)
+    dgrid = jax.lax.dot_general(
+        a, d1, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                       # (B, R*R, R*C)
+    dgrid = dgrid.reshape(b, r, r, r, c).astype(gdtype)
+    return (
+        dgrid,
+        jnp.zeros_like(points),
+        None,
+        jnp.zeros_like(lo),
+        jnp.zeros_like(scale),
+    )
+
+
+devoxelize_trilinear.defvjp(_devox_fwd, _devox_bwd)

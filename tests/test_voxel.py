@@ -145,3 +145,35 @@ def test_devoxelize_backward_finite_with_dummy_rows(rng):
     g = jnp.ones((b, r, r, r, 2), jnp.float32)
     grads = jax.grad(f)(g)
     assert np.isfinite(np.asarray(grads)).all()
+
+
+def test_devoxelize_trilinear_custom_vjp_matches_reference():
+    """The one-hot-contraction backward must equal XLA's scatter VJP."""
+    from pcseg_tpu.ops.voxel import (
+        _devoxelize_trilinear_ref,
+        devoxelize_trilinear,
+        voxelize,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(3, 64, 4)), jnp.float32)
+    mask = jnp.asarray(rng.random((3, 64)) < 0.9)
+    grid = voxelize(pts, mask, 8)
+    g0 = jnp.asarray(rng.normal(size=(3, 8, 8, 8, 5)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(3, 64, 5)), jnp.float32)
+
+    def loss(fn):
+        def f(g):
+            y = fn(g, pts, mask, grid.lo, grid.scale)
+            return jnp.sum(y * t)
+        return f
+
+    d_ref = jax.grad(loss(_devoxelize_trilinear_ref))(g0)
+    d_new = jax.grad(loss(devoxelize_trilinear))(g0)
+    np.testing.assert_allclose(
+        np.asarray(d_new), np.asarray(d_ref), atol=2e-2, rtol=2e-2
+    )
+    # fwd unchanged
+    y_ref = _devoxelize_trilinear_ref(g0, pts, mask, grid.lo, grid.scale)
+    y_new = devoxelize_trilinear(g0, pts, mask, grid.lo, grid.scale)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref))
