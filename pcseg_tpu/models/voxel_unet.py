@@ -162,12 +162,14 @@ class VoxelUNet3d:
         """
         from pcseg_tpu.ops.pallas.conv3d_block import (
             act_packed,
+            down2x_packed,
             fused_conv3x3_add_p,
             fused_conv3x3_p,
+            head1x1_packed,
             pack_grid,
             packed_stats,
             stats_scale_shift,
-            unpack_grid,
+            up2x_packed,
         )
 
         dt = jnp.bfloat16
@@ -220,23 +222,17 @@ class VoxelUNet3d:
             sc, sh = fold(st, f"enc{i}_b_gn", i)
             if i < self.levels - 1:
                 skips.append((xp, sc, sh, meta))
-                a5 = unpack_grid(
-                    act_packed(xp, sc, sh), rs[i], rs[i], widths[i]
+                xp, meta = down2x_packed(
+                    act_packed(xp, sc, sh),
+                    p[f"down{i}"]["kernel"], p[f"down{i}"]["bias"], meta,
                 )
-                raw = conv3d(
-                    p[f"down{i}"], a5, stride=2, compute_dtype=dt
-                ).astype(dt)
-                xp, meta = pack_grid(raw)
                 sc, sh = fold(packed_stats(xp), f"down{i}_gn", i + 1)
         for i in range(self.levels - 2, -1, -1):
             wi = widths[i]
-            a5 = unpack_grid(
-                act_packed(xp, sc, sh), rs[i + 1], rs[i + 1], widths[i + 1]
+            up_p, meta = up2x_packed(
+                act_packed(xp, sc, sh),
+                p[f"up{i}"]["kernel"], p[f"up{i}"]["bias"], meta,
             )
-            up5 = conv3d_transpose(
-                p[f"up{i}"], a5, stride=2, compute_dtype=dt
-            ).astype(dt)
-            up_p, meta = pack_grid(up5)
             sc_u, sh_u = fold(packed_stats(up_p), f"up{i}_gn", i)
             skip_p, sc_s, sh_s, meta = skips[i]
             wk = p[f"dec{i}_a"]["kernel"]
@@ -254,8 +250,10 @@ class VoxelUNet3d:
                 sc, sh, meta,
             )
             sc, sh = fold(st, f"dec{i}_b_gn", i)
-        a5 = unpack_grid(act_packed(xp, sc, sh), rs[0], rs[0], widths[0])
-        return conv3d(p["head"], a5, compute_dtype=dt).astype(jnp.float32)
+        return head1x1_packed(
+            act_packed(xp, sc, sh), p["head"]["kernel"], p["head"]["bias"],
+            meta, self.num_classes,
+        )
 
     def _unet_core(self, p, x):
         dt = jnp.dtype(self.compute_dtype)

@@ -227,6 +227,9 @@ def _conv_pallas_meta(
 ):
     b, d, rows, _ = xp.shape
     h, u, c = meta
+    # under shard_map, outputs must carry the input's varying-across-mesh
+    # annotation (same pattern as fused_block.py)
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
 
     spec = lambda fd: pl.BlockSpec(  # noqa: E731
         (1, 1, rows, LANES),
@@ -260,13 +263,15 @@ def _conv_pallas_meta(
         (1, 1, rows, LANES), lambda i, j: (i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out_shape = jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16)
+    out_shape = jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16,
+                                     vma=vma)
     if want_stats:
         out_specs = (out_specs, pl.BlockSpec(
             (1, 2, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32))
+                     jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32,
+                                          vma=vma))
 
     return pl.pallas_call(
         functools.partial(_kernel, h=h, u=u, c=c, activate=activate,
@@ -313,6 +318,7 @@ def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
                   *, activate, interpret):
     b, d, rows, _ = xp.shape
     h, u, c = meta
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
 
     spec = lambda fd: pl.BlockSpec(  # noqa: E731
         (1, 1, rows, LANES),
@@ -348,8 +354,8 @@ def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16),
-            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16, vma=vma),
+            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
         ),
         interpret=_interp(interpret),
     )(gy, gy, gy, xp, scale[:, None], shift[:, None],
@@ -392,6 +398,7 @@ def _wgrad_kernel(
 def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
     b, d, rows, _ = xp.shape
     h, u, c = meta
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
 
     spec = lambda fd: pl.BlockSpec(  # noqa: E731
         (1, 1, rows, LANES),
@@ -422,9 +429,9 @@ def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
             cspec((1, LANES)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((9 * LANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((18 * c, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((9 * LANES, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((18 * c, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, LANES), jnp.float32, vma=vma),
         ),
         interpret=_interp(interpret),
     )(xp, xp, xp, gy, scale[:, None], shift[:, None])
@@ -698,3 +705,116 @@ def fold_gn(
     shift = gn_bias[None] - per_c_mean * scale
     reps = LANES // c
     return jnp.tile(scale, (1, reps)), jnp.tile(shift, (1, reps))
+
+
+# ---------------------------------------------------------------------------
+# packed stride-2 down / up and 1x1 head — XLA matmuls on the packed form
+# ---------------------------------------------------------------------------
+#
+# The k=2/s=2 (transposed-)convs and the 1x1 head are the only non-3^3
+# pieces of the U-Net. Left as 5-D XLA convs they force relayout copies at
+# every Pallas boundary (see module docstring) and run at narrow-C lane
+# utilization. On the packed view they are exact LANE-MAPPED MATMULS:
+# the stride-2 x-split (w = w1*P + w2, w_in = 2*w_out + dx, and
+# 2*w2' + dx <= P-1 so the block index w1 never overflows) folds into a
+# constant (128, 128) weight per (dz, dy) tap, and the h/d strides are
+# plain reshape-slices on non-minor axes. Four 128x128 matmuls per op,
+# no convs, no scatter, autodiff-friendly.
+
+def _stride2_lane_map(p_in: int) -> jnp.ndarray:
+    """D[dx, w2_in, w2_out] = 1 iff w2_in == 2*w2_out + dx."""
+    import numpy as np
+
+    p_out = p_in // 2
+    d = np.zeros((2, p_in, p_out), np.float32)
+    for w2o in range(p_out):
+        for dx in range(2):
+            d[dx, 2 * w2o + dx, w2o] = 1.0
+    return jnp.asarray(d)
+
+
+def _bias_lane(bias, c):
+    return jnp.tile(bias.astype(jnp.float32), LANES // c)
+
+
+def down2x_packed(xp, w, bias, meta):
+    """Stride-2 k=2 conv on the packed form: meta (h,u,c) -> (h/2,u,2c).
+
+    w: (2, 2, 2, C, 2C) DHWIO — same params as ops/conv3d.py conv3d
+    (stride=2); numerics identical modulo bf16 summation order.
+    """
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    c2 = w.shape[-1]
+    if c2 != 2 * c:
+        raise ValueError(f"down2x_packed needs Cout == 2*Cin, got {c}->{c2}")
+    dmap = _stride2_lane_map(LANES // c)
+    wd = jnp.einsum("xij,zyxab->zyiajb", dmap, w).reshape(
+        2, 2, LANES, LANES
+    ).astype(jnp.bfloat16)
+    x6 = xp.reshape(b, d // 2, 2, h // 2, 2, u, LANES)
+    acc = jnp.zeros((b, d // 2, (h // 2) * u, LANES), jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            s = x6[:, :, dz, :, dy].reshape(b, d // 2, (h // 2) * u, LANES)
+            acc = acc + jax.lax.dot_general(
+                s, wd[dz, dy], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    yp = (acc + _bias_lane(bias, c2)).astype(jnp.bfloat16)
+    return yp, (h // 2, u, c2)
+
+
+def up2x_packed(xp, w, bias, meta):
+    """Stride-2 k=2 TRANSPOSED conv on the packed form:
+    meta (h',u,c2) -> (2h',u,c2/2).
+
+    w: (2, 2, 2, C2, C2/2) — same params as ops/conv3d.py conv3d_transpose
+    (which places x[i'] @ w[1-dz,1-dy,1-dx] at output 2i'+dz; verified
+    numerically)."""
+    h2, u, c2 = meta
+    b, d2, rows2, _ = xp.shape
+    c = w.shape[-1]
+    if c2 != 2 * c:
+        raise ValueError(f"up2x_packed needs Cin == 2*Cout, got {c2}->{c}")
+    wflip = jnp.flip(w, axis=(0, 1, 2))
+    dmap = _stride2_lane_map(LANES // c)       # D[dx, w2_fine, w2_coarse]
+    wu = jnp.einsum("xij,zyxab->zyjaib", dmap, wflip).reshape(
+        2, 2, LANES, LANES
+    ).astype(jnp.bfloat16)
+    parts = [[None, None], [None, None]]
+    for dz in (0, 1):
+        for dy in (0, 1):
+            y = jax.lax.dot_general(
+                xp, wu[dz, dy], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            parts[dz][dy] = y.reshape(b, d2, h2, u, LANES)
+    rows_dy = [
+        jnp.stack([parts[dz][0], parts[dz][1]], axis=3) for dz in (0, 1)
+    ]                                           # (b, d2, h2, 2, u, 128)
+    a = jnp.stack(rows_dy, axis=2)              # (b, d2, 2, h2, 2, u, 128)
+    yp = a.reshape(b, 2 * d2, 2 * h2 * u, LANES)
+    yp = (yp + _bias_lane(bias, c)).astype(jnp.bfloat16)
+    return yp, (2 * h2, u, c)
+
+
+def head1x1_packed(xp, w, bias, meta, num_classes):
+    """1x1 conv on the packed form, channel-padded: returns f32
+    (B, D, H, W, num_classes)."""
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    k = w.reshape(w.shape[-2], w.shape[-1])     # (C, NC)
+    kpad = jnp.zeros((c, c), k.dtype).at[:, : k.shape[1]].set(k)
+    p = LANES // c
+    wh = jnp.einsum("ij,ab->iajb", jnp.eye(p, dtype=k.dtype), kpad).reshape(
+        LANES, LANES
+    ).astype(jnp.bfloat16)
+    bpad = jnp.zeros((c,), jnp.float32).at[: bias.shape[0]].set(
+        bias.astype(jnp.float32)
+    )
+    y = jax.lax.dot_general(
+        xp, wh, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + _bias_lane(bpad, c)
+    return y.reshape(b, d, h, u * p, c)[..., :num_classes]
