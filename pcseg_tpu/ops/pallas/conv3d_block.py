@@ -141,24 +141,59 @@ def _shift_rows(slab: jax.Array, k: int) -> jax.Array:
     return jnp.concatenate([z, slab[:k]], axis=0)
 
 
-def _load_slabs(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate):
-    """Read the three dz slabs, apply the folded-GN prologue, zero the
+def _prep_slab(slab, scale_ref, shift_ref, activate, valid=None):
+    """Folded-GN prologue on one (rows, 128) slab; `valid` zeroes
     out-of-range d boundaries."""
-    d = pl.program_id(1)
-    nd = pl.num_programs(1)
+    s = slab.astype(jnp.float32)
+    if activate:
+        s = jnp.maximum(s * scale_ref[0, 0] + shift_ref[0, 0], 0.0)
+    if valid is not None:
+        s = s * valid
+    return s.astype(jnp.bfloat16)
 
-    def prep(ref, valid):
-        s = ref[0, 0].astype(jnp.float32)
-        if activate:
-            s = jnp.maximum(s * scale_ref[0, 0] + shift_ref[0, 0], 0.0)
-        return (s * valid).astype(jnp.bfloat16)
 
+def _prep_window(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate, kd):
+    """Activate the kd-slice window plus its two 1-slab halos.
+
+    Returns (a_prev, [a_cur_0..kd-1], a_next). Each program covers d in
+    [j*kd, (j+1)*kd); halos are clamped reads masked to zero at the
+    volume boundaries. Reading kd slices + 2 halos per program puts the
+    read amplification at 1 + 2/kd instead of the 3x of the one-slice-
+    per-program formulation (every slab read as prev, cur, and next)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
     one = jnp.float32(1.0)
-    return [
-        prep(xm_ref, jnp.where(d > 0, one, 0.0)),
-        prep(x0_ref, one),
-        prep(xp_ref, jnp.where(d < nd - 1, one, 0.0)),
+    a_cur = [
+        _prep_slab(x0_ref[0, k], scale_ref, shift_ref, activate)
+        for k in range(kd)
     ]
+    a_prev = _prep_slab(
+        xm_ref[0, 0], scale_ref, shift_ref, activate,
+        jnp.where(j > 0, one, 0.0),
+    )
+    a_next = _prep_slab(
+        xp_ref[0, 0], scale_ref, shift_ref, activate,
+        jnp.where(j < nj - 1, one, 0.0),
+    )
+    return a_prev, a_cur, a_next
+
+
+def _pick_kd(d: int, rows: int, has_accum: bool = False) -> int:
+    """Depth-window size: amortize halo reads, bounded by the 16M scoped
+    VMEM limit. Cost ~ a*(kd*rows) + b*rows (window/output blocks plus
+    per-slab halos and f32 prologue transients), so the ladder is by
+    rows, pinned to measured-safe points: rows<=512 kd=8 compiled at
+    13.2M; rows=2048 kd=2 OOMed at 21.8M (kd=1 fits); rows=1024 kd=2
+    uses strictly less than the proven rows=2048/kd=1 case."""
+    if rows <= 512:
+        kd = 4 if has_accum else 8
+    elif rows <= 1024:
+        kd = 1 if has_accum else 2
+    else:
+        kd = 1
+    while kd > 1 and d % kd:
+        kd //= 2
+    return kd
 
 
 def _edge_patch(slabs, u: int, c: int):
@@ -193,7 +228,26 @@ def _conv_core(slabs, wm_ref, we_ref, u: int, c: int):
     return acc + jnp.dot(pe, we_ref[:], preferred_element_type=jnp.float32)
 
 
-def _kernel(*refs, h: int, u: int, c: int, activate: bool, want_stats: bool,
+def _halo_specs(rows: int, kd: int, d: int):
+    """prev (1 slab), cur (kd slabs), next (1 slab) BlockSpecs."""
+    prev = pl.BlockSpec(
+        (1, 1, rows, LANES),
+        lambda i, j: (i, jnp.maximum(kd * j - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cur = pl.BlockSpec(
+        (1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    nxt = pl.BlockSpec(
+        (1, 1, rows, LANES),
+        lambda i, j: (i, jnp.minimum(kd * j + kd, d - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return prev, cur, nxt
+
+
+def _kernel(*refs, u: int, c: int, kd: int, activate: bool, want_stats: bool,
             has_accum: bool):
     it = iter(refs)
     xm_ref, x0_ref, xp_ref = next(it), next(it), next(it)
@@ -203,12 +257,9 @@ def _kernel(*refs, h: int, u: int, c: int, activate: bool, want_stats: bool,
     y_ref = next(it)
     stats_ref = next(it) if want_stats else None
 
-    slabs = _load_slabs(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate)
-    acc = _conv_core(slabs, wm_ref, we_ref, u, c)
-    acc = acc + bias_ref[0]
-    if has_accum:
-        acc = acc + accum_ref[0, 0].astype(jnp.float32)
-    y_ref[0, 0] = acc.astype(y_ref.dtype)
+    a_prev, a_cur, a_next = _prep_window(
+        xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate, kd
+    )
 
     if want_stats:
         # per-lane sum / sumsq of the layer output, accumulated across
@@ -217,8 +268,19 @@ def _kernel(*refs, h: int, u: int, c: int, activate: bool, want_stats: bool,
         def _():
             stats_ref[0] = jnp.zeros_like(stats_ref[0])
 
-        stats_ref[0, 0] += jnp.sum(acc, axis=0)
-        stats_ref[0, 1] += jnp.sum(acc * acc, axis=0)
+    for k in range(kd):
+        slabs = [
+            a_prev if k == 0 else a_cur[k - 1],
+            a_cur[k],
+            a_next if k == kd - 1 else a_cur[k + 1],
+        ]
+        acc = _conv_core(slabs, wm_ref, we_ref, u, c) + bias_ref[0]
+        if has_accum:
+            acc = acc + accum_ref[0, k].astype(jnp.float32)
+        y_ref[0, k] = acc.astype(y_ref.dtype)
+        if want_stats:
+            stats_ref[0, 0] += jnp.sum(acc, axis=0)
+            stats_ref[0, 1] += jnp.sum(acc * acc, axis=0)
 
 
 def _conv_pallas_meta(
@@ -227,24 +289,21 @@ def _conv_pallas_meta(
 ):
     b, d, rows, _ = xp.shape
     h, u, c = meta
+    kd = _pick_kd(d, rows, accum is not None)
     # under shard_map, outputs must carry the input's varying-across-mesh
     # annotation (same pattern as fused_block.py)
     vma = getattr(jax.typeof(xp), "vma", frozenset())
 
-    spec = lambda fd: pl.BlockSpec(  # noqa: E731
-        (1, 1, rows, LANES),
-        functools.partial(lambda fd, i, j: (i, fd(j), 0, 0), fd),
-        memory_space=pltpu.VMEM,
-    )
+    prev, cur, nxt = _halo_specs(rows, kd, d)
     bspec = pl.BlockSpec(
         (1, 1, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     in_specs = [
-        spec(lambda j: jnp.maximum(j - 1, 0)),
-        spec(lambda j: j),
-        spec(lambda j: jnp.minimum(j + 1, d - 1)),
+        prev,
+        cur,
+        nxt,
         bspec,
         bspec,
         wspec,
@@ -256,11 +315,14 @@ def _conv_pallas_meta(
             wm.astype(jnp.bfloat16), we.astype(jnp.bfloat16),
             bias_lane.reshape(1, 1, LANES)]
     if accum is not None:
-        in_specs.append(spec(lambda j: j))
+        in_specs.append(pl.BlockSpec(
+            (1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
         args.append(accum)
 
     out_specs = pl.BlockSpec(
-        (1, 1, rows, LANES), lambda i, j: (i, j, 0, 0),
+        (1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16,
@@ -274,10 +336,10 @@ def _conv_pallas_meta(
                                           vma=vma))
 
     return pl.pallas_call(
-        functools.partial(_kernel, h=h, u=u, c=c, activate=activate,
+        functools.partial(_kernel, u=u, c=c, kd=kd, activate=activate,
                           want_stats=want_stats,
                           has_accum=accum is not None),
-        grid=(b, d),
+        grid=(b, d // kd),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -292,52 +354,58 @@ def _conv_pallas_meta(
 def _dgrad_kernel(
     gym_ref, gy0_ref, gyp_ref, x0_ref, scale_ref, shift_ref, wm_ref, we_ref,
     dx_ref, dstats_ref,
-    *, h: int, u: int, c: int, activate: bool,
+    *, u: int, c: int, kd: int, activate: bool,
 ):
     """da = conv(gy, flip(w)^T); dx = da * relu' * scale; plus the per-lane
     dscale/dshift reductions, accumulated over the d grid dimension."""
-    slabs = _load_slabs(gym_ref, gy0_ref, gyp_ref, None, None, False)
-    da = _conv_core(slabs, wm_ref, we_ref, u, c)
+    g_prev, g_cur, g_next = _prep_window(
+        gym_ref, gy0_ref, gyp_ref, None, None, False, kd
+    )
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dstats_ref[0] = jnp.zeros_like(dstats_ref[0])
 
-    if activate:
-        xs = x0_ref[0, 0].astype(jnp.float32)
-        pre = xs * scale_ref[0, 0] + shift_ref[0, 0]
-        dam = jnp.where(pre > 0, da, 0.0)
-        dx_ref[0, 0] = (dam * scale_ref[0, 0]).astype(dx_ref.dtype)
-        dstats_ref[0, 0] += jnp.sum(dam * xs, axis=0)
-        dstats_ref[0, 1] += jnp.sum(dam, axis=0)
-    else:
-        dx_ref[0, 0] = da.astype(dx_ref.dtype)
+    for k in range(kd):
+        slabs = [
+            g_prev if k == 0 else g_cur[k - 1],
+            g_cur[k],
+            g_next if k == kd - 1 else g_cur[k + 1],
+        ]
+        da = _conv_core(slabs, wm_ref, we_ref, u, c)
+        if activate:
+            xs = x0_ref[0, k].astype(jnp.float32)
+            pre = xs * scale_ref[0, 0] + shift_ref[0, 0]
+            dam = jnp.where(pre > 0, da, 0.0)
+            dx_ref[0, k] = (dam * scale_ref[0, 0]).astype(dx_ref.dtype)
+            dstats_ref[0, 0] += jnp.sum(dam * xs, axis=0)
+            dstats_ref[0, 1] += jnp.sum(dam, axis=0)
+        else:
+            dx_ref[0, k] = da.astype(dx_ref.dtype)
 
 
 def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
                   *, activate, interpret):
     b, d, rows, _ = xp.shape
     h, u, c = meta
+    kd = _pick_kd(d, rows)
     vma = getattr(jax.typeof(xp), "vma", frozenset())
 
-    spec = lambda fd: pl.BlockSpec(  # noqa: E731
-        (1, 1, rows, LANES),
-        functools.partial(lambda fd, i, j: (i, fd(j), 0, 0), fd),
-        memory_space=pltpu.VMEM,
-    )
+    prev, cur, nxt = _halo_specs(rows, kd, d)
     bspec = pl.BlockSpec(
         (1, 1, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     dx, dstats = pl.pallas_call(
-        functools.partial(_dgrad_kernel, h=h, u=u, c=c, activate=activate),
-        grid=(b, d),
+        functools.partial(_dgrad_kernel, u=u, c=c, kd=kd, activate=activate),
+        grid=(b, d // kd),
         in_specs=[
-            spec(lambda j: jnp.maximum(j - 1, 0)),
-            spec(lambda j: j),
-            spec(lambda j: jnp.minimum(j + 1, d - 1)),
-            spec(lambda j: j),
+            prev,
+            cur,
+            nxt,
+            pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
             bspec,
             bspec,
             wspec,
@@ -345,7 +413,7 @@ def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, rows, LANES), lambda i, j: (i, j, 0, 0),
+                (1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -366,12 +434,13 @@ def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
 def _wgrad_kernel(
     xm_ref, x0_ref, xp_ref, gy0_ref, scale_ref, shift_ref,
     dwm_ref, dwe_ref, dbias_ref,
-    *, h: int, u: int, c: int, activate: bool,
+    *, u: int, c: int, kd: int, activate: bool,
 ):
     """dwm_t += a_shifted^T @ gy; dwe += pe^T @ gy; dbias += sum(gy) —
     all three accumulated across the entire (b, d) grid."""
-    slabs = _load_slabs(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate)
-    gy = gy0_ref[0, 0]
+    a_prev, a_cur, a_next = _prep_window(
+        xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate, kd
+    )
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
@@ -380,31 +449,35 @@ def _wgrad_kernel(
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     dn = (((0,), (0,)), ((), ()))
-    t = 0
-    for slab in slabs:
-        for dy in (-1, 0, 1):
-            sh = _shift_rows(slab, dy * u)
-            dwm_ref[t * LANES : (t + 1) * LANES] += jax.lax.dot_general(
-                sh, gy, dn, preferred_element_type=jnp.float32
-            )
-            t += 1
-    pe = _edge_patch(slabs, u, c)
-    dwe_ref[:] += jax.lax.dot_general(
-        pe, gy, dn, preferred_element_type=jnp.float32
-    )
-    dbias_ref[0] += jnp.sum(gy.astype(jnp.float32), axis=0)
+    for k in range(kd):
+        slabs = [
+            a_prev if k == 0 else a_cur[k - 1],
+            a_cur[k],
+            a_next if k == kd - 1 else a_cur[k + 1],
+        ]
+        gy = gy0_ref[0, k]
+        t = 0
+        for slab in slabs:
+            for dy in (-1, 0, 1):
+                sh = _shift_rows(slab, dy * u)
+                dwm_ref[t * LANES : (t + 1) * LANES] += jax.lax.dot_general(
+                    sh, gy, dn, preferred_element_type=jnp.float32
+                )
+                t += 1
+        pe = _edge_patch(slabs, u, c)
+        dwe_ref[:] += jax.lax.dot_general(
+            pe, gy, dn, preferred_element_type=jnp.float32
+        )
+        dbias_ref[0] += jnp.sum(gy.astype(jnp.float32), axis=0)
 
 
 def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
     b, d, rows, _ = xp.shape
     h, u, c = meta
+    kd = _pick_kd(d, rows)
     vma = getattr(jax.typeof(xp), "vma", frozenset())
 
-    spec = lambda fd: pl.BlockSpec(  # noqa: E731
-        (1, 1, rows, LANES),
-        functools.partial(lambda fd, i, j: (i, fd(j), 0, 0), fd),
-        memory_space=pltpu.VMEM,
-    )
+    prev, cur, nxt = _halo_specs(rows, kd, d)
     bspec = pl.BlockSpec(
         (1, 1, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -413,13 +486,14 @@ def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
     )
 
     dwm, dwe, dbias = pl.pallas_call(
-        functools.partial(_wgrad_kernel, h=h, u=u, c=c, activate=activate),
-        grid=(b, d),
+        functools.partial(_wgrad_kernel, u=u, c=c, kd=kd, activate=activate),
+        grid=(b, d // kd),
         in_specs=[
-            spec(lambda j: jnp.maximum(j - 1, 0)),
-            spec(lambda j: j),
-            spec(lambda j: jnp.minimum(j + 1, d - 1)),
-            spec(lambda j: j),
+            prev,
+            cur,
+            nxt,
+            pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
             bspec,
             bspec,
         ],
