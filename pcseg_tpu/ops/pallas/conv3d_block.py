@@ -212,7 +212,11 @@ def _edge_patch(slabs, u: int, c: int):
 
 
 def _conv_core(slabs, wm_ref, we_ref, u: int, c: int):
-    """9 per-tap banded matmuls + 1 edge matmul -> f32 (rows, 128)."""
+    """9 per-tap banded matmuls + 1 edge matmul -> f32 (rows, 128).
+
+    (A single deep (rows, 1152) @ (1152, 128) matmul of the concatenated
+    taps measured the same at the core level and adds a large VMEM
+    transient — the per-tap accumulation chain pipelines fine.)"""
     rows = slabs[0].shape[0]
     acc = jnp.zeros((rows, LANES), jnp.float32)
     t = 0
