@@ -215,3 +215,4 @@ def test_per_replica_bn_keeps_replica0_stats(mesh8, small_events):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
