@@ -48,8 +48,12 @@ upstream gradient (with the relu'/scale epilogue and per-lane
 dscale/dshift reductions fused in), and wgrad accumulates per-tap
 (128, rows) @ (rows, 128) contractions across the whole (b, d) grid into
 one VMEM-resident block before an XLA unpack folds the banded copies
-back to (3, 3, 3, C, C). Measured at B8 x 64^3 x 16ch bf16: fwd 1.6 ms
-(XLA conv 4.0), fwd+bwd all-grads 3.9 ms (XLA 13.0).
+back to (3, 3, 3, C, C). Kernels process a rolling window of kd
+consecutive d-slices with two clamped 1-slab halos, cutting dz-neighbor
+re-reads from 3x to 1 + 2/kd. Measured at B8 x 64^3 x 16ch bf16: fwd
+~1.2-1.5 ms (XLA conv 4.0), fwd+bwd all-grads 3.0 ms (XLA 13.0); the
+full U-Net core f+b runs 23.0 ms vs 95.1 for the XLA core
+(experiments/bench_unet_all.py, BASELINE.md).
 """
 
 from __future__ import annotations
