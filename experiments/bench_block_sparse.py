@@ -139,3 +139,40 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_model():
+    """Model-level: SparseVoxelNet levels=2 fwd+bwd, block vs dense."""
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    rng = np.random.default_rng(0)
+    pts, mask = track_events(rng, B, M)
+    labels = jnp.asarray(rng.integers(0, 4, size=(B, M)))
+
+    for impl, kw in [("dense", {}),
+                     ("block", dict(tile=8, max_tiles=64))]:
+        m = SparseVoxelNet(num_classes=4, grid_size=R, width=C, depth=4,
+                           levels=2, impl=impl,
+                           compute_dtype="bfloat16", **kw)
+        v = m.init(jax.random.key(0))
+
+        def loss(params, p):
+            logits, _ = m.apply({"params": params, "batch_stats": {}},
+                                p, train=True, mask=mask)
+            oh = jax.nn.one_hot(labels, 4)
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+
+        g = jax.grad(loss)
+
+        def fb(p):
+            gr = g(v["params"], p)
+            tot = sum(jnp.sum(x).astype(jnp.float32)
+                      for x in jax.tree.leaves(gr))
+            return p + tot.astype(p.dtype) * 1e-9
+
+        t = timed(fb, pts)
+        print(f"SparseVoxelNet L2 d4 w{C} {impl:6s} train f+b {t:8.2f} ms")
+
+
+if __name__ == "__main__":
+    bench_model()

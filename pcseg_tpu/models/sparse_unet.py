@@ -72,8 +72,10 @@ class SparseVoxelNet:
             p[f"ln{i}"] = site_layer_norm_init(self.width)
             cin = self.width
         if self.levels > 1:
-            if self.impl != "dense":
-                raise ValueError("levels > 1 requires impl='dense'")
+            if self.impl not in ("dense", "block"):
+                raise ValueError(
+                    "levels > 1 requires impl='dense' or impl='block'"
+                )
             from pcseg_tpu.ops.conv3d import conv3d_init
 
             w = self.width
@@ -147,21 +149,59 @@ class SparseVoxelNet:
             return logits, {}
         return logits
 
+    def _block_stack(self, p, prefix, x, bs, dt):
+        from pcseg_tpu.ops.block_sparse import block_subm_conv
+
+        for i in range(self.depth):
+            y = block_subm_conv(
+                p[f"{prefix}conv{i}"], bs, feats=x, compute_dtype=dt
+            )
+            y = self._ln_relu_mask(y, p[f"{prefix}ln{i}"], bs.active).astype(dt)
+            x = y if (i == 0 and prefix == "") else (x + y)
+        return x
+
     def _apply_block(self, p, grid, points, mask, dt):
         """Block-sparse path: dense conv on occupied tiles only (same
-        params as the other impls; values at active sites identical)."""
+        params as the other impls; values at active sites identical).
+        levels > 1 builds the pooled tile hierarchy (block_pool /
+        block_down2x / block_up2x) — the sparse U-Net on tiles."""
         from pcseg_tpu.ops.block_sparse import (
+            block_down2x,
             block_gather_point_logits,
+            block_pool,
             block_sparse_from_grid,
-            block_subm_conv,
+            block_up2x,
         )
 
         bs = block_sparse_from_grid(grid, self.max_tiles, self.tile)
-        x = bs.feats.astype(dt)
-        for i in range(self.depth):
-            y = block_subm_conv(p[f"conv{i}"], bs, feats=x, compute_dtype=dt)
-            y = self._ln_relu_mask(y, p[f"ln{i}"], bs.active).astype(dt)
-            x = y if i == 0 else (x + y)
+        x = self._block_stack(p, "", bs.feats.astype(dt), bs, dt)
+
+        if self.levels > 1:
+            skips, bss = [x], [bs]
+            cur = bs
+            for lv in range(1, self.levels):
+                bsc, slots = block_pool(cur, self.max_tiles)
+                h = block_down2x(
+                    p[f"down{lv}"], skips[-1], bsc, slots, compute_dtype=dt
+                )
+                h = self._ln_relu_mask(
+                    h, p[f"down{lv}_ln"], bsc.active
+                ).astype(dt)
+                h = self._block_stack(p, f"l{lv}_", h, bsc, dt)
+                skips.append(h)
+                bss.append(bsc)
+                cur = bsc
+            h = skips[-1]
+            for lv in range(self.levels - 1, 0, -1):
+                u = block_up2x(
+                    p[f"up{lv}"], h, bss[lv], bss[lv - 1], compute_dtype=dt
+                )
+                u = self._ln_relu_mask(
+                    u, p[f"up{lv}_ln"], bss[lv - 1].active
+                ).astype(dt)
+                h = skips[lv - 1] + u
+            x = h
+
         site_logits = (
             jax.lax.dot_general(
                 x.astype(dt),

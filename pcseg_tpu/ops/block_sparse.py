@@ -223,3 +223,171 @@ def block_gather_point_logits(
 
     out = jax.vmap(one)(site_values, bs.lookup, flat)
     return jnp.where(mask[..., None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# tile hierarchy: strided down / transposed up between resolutions
+# ---------------------------------------------------------------------------
+#
+# A sparse U-Net needs pooled occupancy hierarchies. Tiles keep their edge
+# t across levels; a coarse tile's 2t-cube footprint covers exactly its 8
+# fine child tiles, so the k=2/s=2 (transposed-)convs need NO halo: down
+# assembles the 8 children and runs one dense VALID conv; up gathers the
+# parent's octant sub-block and expands it with the flipped taps. Same
+# parameter pytrees as ops/conv3d.py's strided convs (the dense impl),
+# so the two sparse hierarchies share weights and can be parity-tested.
+
+def block_pool(
+    bs: BlockSparseVoxels, max_tiles: int
+) -> tuple[BlockSparseVoxels, jax.Array]:
+    """Coarse-level tile skeleton (grid R/2, same t) + child slot table.
+
+    Returns (bs_coarse, child_slots (B, NTc, 8)): a coarse tile is
+    occupied iff any of its 8 children is; its ``active`` mask is the
+    2^3-pooled fine active mask; ``feats`` is a zero-channel placeholder
+    (layer features are threaded explicitly through the conv helpers).
+    """
+    t = bs.tile
+    nt = bs.grid_size // t
+    ntc = nt // 2
+    ntc3 = ntc * ntc * ntc
+    b, nfine = bs.tile_ijk.shape[:2]
+
+    def one(ijk, tmask, lookup_f, active_f):
+        pflat = ((ijk[:, 0] // 2) * ntc + ijk[:, 1] // 2) * ntc + ijk[:, 2] // 2
+        pflat = jnp.where(tmask, pflat, ntc3)
+        occ = jnp.zeros((ntc3 + 1,), bool).at[pflat].set(True)[:ntc3]
+        (ids,) = jnp.nonzero(occ, size=max_tiles, fill_value=ntc3)
+        cmask = ids < ntc3
+        safe = jnp.where(cmask, ids, 0)
+        ci = safe // (ntc * ntc)
+        cj = (safe // ntc) % ntc
+        ck = safe % ntc
+        cijk = jnp.stack([ci, cj, ck], axis=-1).astype(jnp.int32)
+        clookup = (
+            jnp.full((ntc3 + 1,), -1, jnp.int32)
+            .at[jnp.where(cmask, ids, ntc3)]
+            .set(jnp.arange(max_tiles, dtype=jnp.int32))
+        )
+        clookup = clookup.at[ntc3].set(-1)
+        # child fine-tile slots per coarse tile: (NTc, 8)
+        deltas = jnp.asarray(
+            [[dz, dy, dx] for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+            jnp.int32,
+        )
+        cf = 2 * cijk[:, None, :] + deltas[None, :, :]
+        cflat = (cf[..., 0] * nt + cf[..., 1]) * nt + cf[..., 2]
+        cflat = jnp.where(cmask[:, None], cflat, nt * nt * nt)
+        slots = lookup_f[cflat]                       # (NTc, 8), -1 empty
+        # pooled active: assemble children actives, 2^3 max-pool
+        apad = jnp.concatenate(
+            [jnp.zeros_like(active_f[:1]), active_f], axis=0
+        )
+        ch = apad[slots + 1]                          # (NTc, 8, t, t, t)
+        asm = ch.reshape(-1, 2, 2, 2, t, t, t).transpose(0, 1, 4, 2, 5, 3, 6)
+        asm = asm.reshape(-1, 2 * t, 2 * t, 2 * t)
+        cact = asm.reshape(-1, t, 2, t, 2, t, 2).any(axis=(2, 4, 6))
+        return cijk, cact, cmask, clookup, slots
+
+    cijk, cact, cmask, clookup, slots = jax.vmap(one)(
+        bs.tile_ijk, bs.tile_mask, bs.lookup, bs.active
+    )
+    feats0 = jnp.zeros(cact.shape + (0,), jnp.float32)
+    bsc = BlockSparseVoxels(
+        cijk, feats0, cact, cmask, clookup, bs.grid_size // 2, t
+    )
+    return bsc, slots
+
+
+def block_down2x(
+    p: dict,
+    feats: jax.Array,
+    bs_coarse: BlockSparseVoxels,
+    child_slots: jax.Array,
+    compute_dtype=None,
+) -> jax.Array:
+    """Stride-2 k=2 conv fine tiles -> coarse tiles.
+
+    feats: (B, NTf, t, t, t, Cin) fine features; p["kernel"]
+    (2, 2, 2, Cin, Cout) — same params as ops/conv3d.py conv3d(stride=2).
+    Returns (B, NTc, t, t, t, Cout) masked to the pooled active set.
+    """
+    dt = compute_dtype or feats.dtype
+    t = bs_coarse.tile
+    b, ntc = child_slots.shape[:2]
+    cin = feats.shape[-1]
+    cout = p["kernel"].shape[-1]
+
+    def one(f, slots):
+        fpad = jnp.concatenate([jnp.zeros_like(f[:1]), f], axis=0)
+        ch = fpad[slots + 1]                          # (NTc, 8, t,t,t,Cin)
+        asm = ch.reshape(ntc, 2, 2, 2, t, t, t, cin)
+        asm = asm.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return asm.reshape(ntc, 2 * t, 2 * t, 2 * t, cin)
+
+    asm = jax.vmap(one)(feats, child_slots)
+    y = jax.lax.conv_general_dilated(
+        asm.reshape(b * ntc, 2 * t, 2 * t, 2 * t, cin).astype(dt),
+        p["kernel"].astype(dt),
+        window_strides=(2, 2, 2),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ).astype(jnp.float32).reshape(b, ntc, t, t, t, cout) + p["bias"]
+    return jnp.where(bs_coarse.active[..., None], y, 0.0)
+
+
+def block_up2x(
+    p: dict,
+    cfeats: jax.Array,
+    bs_coarse: BlockSparseVoxels,
+    bs_fine: BlockSparseVoxels,
+    compute_dtype=None,
+) -> jax.Array:
+    """Stride-2 k=2 TRANSPOSED conv coarse tiles -> fine tiles.
+
+    cfeats: (B, NTc, t, t, t, Cin); p["kernel"] (2, 2, 2, Cin, Cout) —
+    same params as ops/conv3d.py conv3d_transpose (which places
+    x[i'] @ w[1-dz,1-dy,1-dx] at output 2i'+dz). Each fine tile reads its
+    parent's octant sub-block (one row gather from an octant-split
+    table). Returns (B, NTf, t, t, t, Cout) masked to the fine active
+    set. Requires even t.
+    """
+    dt = compute_dtype or cfeats.dtype
+    t = bs_fine.tile
+    th = t // 2
+    ntcg = bs_coarse.grid_size // t                   # coarse tile-grid edge
+    ntc3 = ntcg * ntcg * ntcg
+    cin = cfeats.shape[-1]
+    cout = p["kernel"].shape[-1]
+    wflip = jnp.flip(p["kernel"], axis=(0, 1, 2))     # (2,2,2,Cin,Cout)
+
+    def one(cf, lookup_c, ijk_f, fmask):
+        ntc = cf.shape[0]
+        # octant-split view: (NTc*8, th, th, th, Cin), octant index
+        # o = dz*4 + dy*2 + dx of the PARENT's (2x2x2 of th-cubes)
+        oct_ = cf.reshape(ntc, 2, th, 2, th, 2, th, cin)
+        oct_ = oct_.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        oct_ = oct_.reshape(ntc * 8, th, th, th, cin)
+        opad = jnp.concatenate([jnp.zeros_like(oct_[:1]), oct_], axis=0)
+        pflat = (
+            (ijk_f[:, 0] // 2) * ntcg + ijk_f[:, 1] // 2
+        ) * ntcg + ijk_f[:, 2] // 2
+        pflat = jnp.where(fmask, pflat, ntc3)
+        pslot = lookup_c[pflat]                       # (NTf,), -1 if none
+        octant = (
+            (ijk_f[:, 0] % 2) * 4 + (ijk_f[:, 1] % 2) * 2 + ijk_f[:, 2] % 2
+        )
+        row = jnp.where(pslot >= 0, pslot * 8 + octant, -1)
+        sub = opad[row + 1]                           # (NTf, th, th, th, Cin)
+        # expand: fine[2a+dz, 2b+dy, 2c+dx] = sub[a,b,c] @ wflip[dz,dy,dx]
+        y = jnp.einsum(
+            "nabci,zyxio->nazbycxo",
+            sub.astype(dt), wflip.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(-1, t, t, t, cout)
+
+    y = jax.vmap(one)(
+        cfeats, bs_coarse.lookup, bs_fine.tile_ijk, bs_fine.tile_mask
+    ).astype(jnp.float32) + p["bias"]
+    return jnp.where(bs_fine.active[..., None], y, 0.0)

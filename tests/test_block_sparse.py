@@ -170,3 +170,46 @@ def test_sparse_model_block_impl_trains():
     l0, g = jax.value_and_grad(loss)(v["params"])
     assert np.isfinite(float(l0))
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_sparse_model_block_unet_matches_dense_unet():
+    """levels=2 tile hierarchy (block_pool/down2x/up2x) vs the dense
+    sparse-U-Net impl on shared weights."""
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    rng = np.random.default_rng(8)
+    pts, mask = _event_batch(rng)
+    kw = dict(num_classes=4, grid_size=16, width=16, depth=2, levels=2)
+    m_d = SparseVoxelNet(**kw, impl="dense")
+    m_b = SparseVoxelNet(**kw, impl="block", tile=4, max_tiles=64)
+    v = m_d.init(jax.random.key(3))
+    y_d = m_d.apply(v, pts, mask=mask)
+    y_b = m_b.apply(v, pts, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(y_d), np.asarray(y_b), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_sparse_model_block_unet_trains():
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    rng = np.random.default_rng(9)
+    pts, mask = _event_batch(rng)
+    labels = jnp.asarray(rng.integers(0, 4, size=pts.shape[:2]))
+    m = SparseVoxelNet(num_classes=4, grid_size=16, width=16, depth=2,
+                       levels=2, impl="block", tile=4, max_tiles=64)
+    v = m.init(jax.random.key(4))
+
+    def loss(params):
+        logits, _ = m.apply({"params": params, "batch_stats": {}},
+                            pts, train=True, mask=mask)
+        oh = jax.nn.one_hot(labels, 4)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+
+    l0, g = jax.value_and_grad(loss)(v["params"])
+    assert np.isfinite(float(l0))
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    # gradients reach the hierarchy params (down/up/l1 convs)
+    assert float(jnp.sum(jnp.abs(g["down1"]["kernel"]))) > 0
+    assert float(jnp.sum(jnp.abs(g["up1"]["kernel"]))) > 0
