@@ -66,6 +66,10 @@ class ModelConfig:
     depth: int = 4
     max_active: int = 8192
     impl: str = "dense"
+    # block impl (sparse_voxelnet impl="block"): occupied-tile capacity
+    # per event and tile edge (ops/block_sparse.py)
+    max_tiles: int = 128
+    tile: int = 8
 
 
 @dataclass

@@ -45,6 +45,8 @@ def build_model(cfg: ModelConfig, num_classes: int):
             depth=cfg.depth,
             max_active=cfg.max_active,
             impl=cfg.impl,
+            max_tiles=cfg.max_tiles,
+            tile=cfg.tile,
             levels=cfg.levels or 1,
             compute_dtype=cfg.compute_dtype,
         )
