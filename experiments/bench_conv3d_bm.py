@@ -163,10 +163,6 @@ def main():
         print(f"{name:20s} {t:8.3f} ms")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bench_pallas():
     from pcseg_tpu.ops.pallas.conv3d_block import fused_conv3x3
 
@@ -194,8 +190,6 @@ def bench_pallas():
         print(f"{name:20s} {t:8.3f} ms")
 
 
-if __name__ == "__main__":
-    bench_pallas()
 
 
 def bench_bwd():
@@ -248,4 +242,6 @@ def bench_bwd():
 
 
 if __name__ == "__main__":
+    main()
+    bench_pallas()
     bench_bwd()
