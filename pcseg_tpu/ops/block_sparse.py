@@ -249,6 +249,11 @@ def block_pool(
     """
     t = bs.tile
     nt = bs.grid_size // t
+    if nt % 2:
+        raise ValueError(
+            f"block_pool needs an even tile grid (R/t = {nt}); edge tiles "
+            f"would be dropped otherwise"
+        )
     ntc = nt // 2
     ntc3 = ntc * ntc * ntc
     b, nfine = bs.tile_ijk.shape[:2]
