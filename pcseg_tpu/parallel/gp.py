@@ -1,0 +1,251 @@
+"""Grid-parallel voxel U-Net — the depth (z) axis of the voxel grid
+sharded across the mesh ``model`` axis.
+
+The voxel-family analog of sequence/context parallelism (SURVEY.md §5:
+"for very large events, shard the point/voxel axis across the mesh and
+implement the reductions with psum-style cross-chip collectives"): each
+chip holds a D/P-slab of the grid, so U-Net activation memory scales 1/P
+per chip — the mechanism that takes 256^3+ grids past a single chip's
+HBM. Collectives, all riding ICI:
+
+- every 3^3 conv exchanges ONE boundary slab with each depth neighbor
+  (``lax.ppermute``; the halo is concatenated, the conv runs SAME on the
+  extended slab, and the two edge outputs are discarded — numerics
+  identical to the unsharded conv);
+- GroupNorm statistics psum over the depth shards (``_gp_group_norm``);
+- the stride-2 down/up convs and the 1x1 head are depth-local (non-
+  overlapping k=2 windows never cross an even shard boundary);
+- the classifier grid is all-gathered for the per-point readout
+  (logits are C=num_classes wide — the gather is tiny next to the
+  feature grids that stay sharded).
+
+Runs the model's XLA conv core; fusing the halo exchange into the
+lane-packed Pallas core (models/voxel_unet.py) is the planned follow-up
+— the kernels already take explicit per-boundary slabs internally, but
+JAX's pallas HLO interpreter cannot evaluate vma-typed operands, which
+would leave the fused-GP path untestable on the virtual CPU mesh this
+environment verifies multi-chip logic on.
+
+Reference counterpart: none (DataParallel only, pcs.py:209-213); this is
+a scaling capability the reference lacks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+from pcseg_tpu.ops.conv3d import conv3d, conv3d_transpose
+from pcseg_tpu.ops.voxel import devoxelize_trilinear, voxelize
+from pcseg_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _halo_exchange(x: jax.Array, axis: str) -> tuple[jax.Array, jax.Array]:
+    """Neighbor boundary slabs along the sharded depth axis.
+
+    x: (B, Dl, H, W, C) local slab. Returns (lo, hi), each (B, 1, ...):
+    lo = previous shard's last slice, hi = next shard's first slice;
+    zeros at the global volume edges (ppermute leaves non-destination
+    outputs zero).
+    """
+    n = jax.lax.axis_size(axis)
+    fwd = [(s, s + 1) for s in range(n - 1)]
+    bwd = [(s + 1, s) for s in range(n - 1)]
+    lo = jax.lax.ppermute(x[:, -1:], axis, fwd)
+    hi = jax.lax.ppermute(x[:, :1], axis, bwd)
+    return lo, hi
+
+
+def _gp_group_norm(p, x, axis, groups: int = 8, eps: float = 1e-5):
+    """GroupNorm with statistics psum'd over the depth shards — exactly
+    ops/conv3d.py group_norm on the logically-unsharded grid."""
+    b, d, h, w, c = x.shape
+    g = min(groups, c)
+    while c % g:
+        g -= 1
+    xf = x.astype(jnp.float32).reshape(b, d * h * w, g, c // g)
+    s1 = jax.lax.psum(jnp.sum(xf, axis=(1, 3)), axis)
+    s2 = jax.lax.psum(jnp.sum(jnp.square(xf), axis=(1, 3)), axis)
+    # equal-sized shards: the global count is static
+    n = d * h * w * (c // g) * jax.lax.axis_size(axis)
+    mean = s1 / n
+    var = s2 / n - jnp.square(mean)
+    y = (xf - mean[:, None, :, None]) * jax.lax.rsqrt(
+        var[:, None, :, None] + eps
+    )
+    y = y.reshape(b, d, h, w, c) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def _gp_core(model: VoxelUNet3d, p, x, axis: str):
+    """The XLA U-Net core on a depth-sharded grid (see _unet_core)."""
+    dt = jnp.dtype(model.compute_dtype)
+
+    def conv_halo(name, x):
+        lo, hi = _halo_exchange(x, axis)
+        ext = jnp.concatenate([lo.astype(dt), x, hi.astype(dt)], axis=1)
+        return conv3d(p[name], ext, compute_dtype=dt)[:, 1:-1]
+
+    def block(name, x, stride=1, transpose=False):
+        if transpose:
+            y = conv3d_transpose(p[name], x, stride=stride, compute_dtype=dt)
+        elif stride == 2:
+            y = conv3d(p[name], x, stride=2, compute_dtype=dt)
+        else:
+            y = conv_halo(name, x)
+        y = _gp_group_norm(p[f"{name}_gn"], y, axis)
+        return jnp.maximum(y, 0.0).astype(dt)
+
+    x = block("stem", x)
+    skips = []
+    for i in range(model.levels):
+        x = block(f"enc{i}_a", x)
+        x = block(f"enc{i}_b", x)
+        if i < model.levels - 1:
+            skips.append(x)
+            x = block(f"down{i}", x, stride=2)
+    for i in range(model.levels - 2, -1, -1):
+        x = block(f"up{i}", x, stride=2, transpose=True)
+        x = jnp.concatenate([x, skips[i].astype(dt)], axis=-1)
+        x = block(f"dec{i}_a", x)
+        x = block(f"dec{i}_b", x)
+    return conv3d(p["head"], x, compute_dtype=dt).astype(jnp.float32)
+
+
+def _check_shardable(model: VoxelUNet3d, n: int) -> None:
+    r = model.grid_size
+    if (r // (2 ** (model.levels - 1))) % n:
+        raise ValueError(
+            f"grid {r} with {model.levels} levels cannot shard depth over "
+            f"{n} devices (deepest level must still split evenly)"
+        )
+
+
+def _gp_apply(model: VoxelUNet3d, p, points, mask, axis: str, n: int):
+    """Depth-sharded forward body (runs inside shard_map): replicated
+    points in, replicated per-point logits out."""
+    r = model.grid_size
+    grid = voxelize(points, mask, r)
+    dl = r // n
+    idx = jax.lax.axis_index(axis)
+    x_local = jax.lax.dynamic_slice_in_dim(
+        grid.features, idx * dl, dl, axis=1
+    )
+    logits_local = _gp_core(
+        model, p, x_local.astype(jnp.dtype(model.compute_dtype)), axis
+    )
+    # gather the classifier grid as place-and-psum: every shard writes
+    # its slab into a zero full grid and the psum assembles it —
+    # numerically an all_gather, but the result is replicated
+    # (vma-invariant) by construction
+    full = jnp.zeros(
+        logits_local.shape[:1] + (r,) + logits_local.shape[2:],
+        logits_local.dtype,
+    )
+    full = jax.lax.dynamic_update_slice_in_dim(
+        full, logits_local, idx * dl, axis=1
+    )
+    logits_full = jax.lax.psum(full, axis)
+    return devoxelize_trilinear(
+        logits_full, points, mask, grid.lo, grid.scale
+    )
+
+
+def make_gp_forward(model: VoxelUNet3d, mesh: Mesh, axis: str = MODEL_AXIS):
+    """Jitted eval forward with the voxel grid depth-sharded over
+    ``axis``. ``f(variables, points, mask) -> logits (B, M, C)``.
+
+    Points/labels stay replicated (they are tiny next to the grids);
+    voxelize runs per shard and each shard keeps its D/P slab. The mesh
+    ``axis`` size must divide ``model.grid_size / 2^(levels-1)``.
+    """
+    n = mesh.shape[axis]
+    _check_shardable(model, n)
+
+    def fwd(variables, points, mask):
+        return _gp_apply(model, variables["params"], points, mask, axis, n)
+
+    mapped = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=True,
+    )
+    return jax.jit(mapped)
+
+
+def make_gp_train_step(
+    model: VoxelUNet3d,
+    mesh: Mesh,
+    optimizer,
+    axis: str = MODEL_AXIS,
+    donate: bool = False,
+):
+    """Training step over the depth-sharded U-Net.
+
+    Same signature as train.steps.make_train_step: ``step(state, batch,
+    lr, dropout_key, class_weights) -> (state, metrics)``. The batch is
+    replicated (grid memory, not batch size, is what GP scales); the
+    gradient collectives are the autodiff transposes of the halo
+    ppermutes and stat psums, plus a psum over any leaf that comes back
+    depth-varying.
+    """
+    import optax
+
+    from pcseg_tpu.ops.losses import cross_entropy_sums
+    from pcseg_tpu.ops.metrics import masked_accuracy
+    from pcseg_tpu.train.steps import TrainState
+
+    n = mesh.shape[axis]
+    _check_shardable(model, n)
+
+    def step(state, batch, lr, dropout_key, class_weights):
+        points, labels, masks = batch
+
+        def loss_fn(params):
+            logits = _gp_apply(model, params, points, mask=masks,
+                               axis=axis, n=n)
+            num, den = cross_entropy_sums(logits, labels, class_weights)
+            return num / jnp.maximum(den, jnp.finfo(jnp.float32).tiny), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = jax.tree.map(
+            lambda g: (
+                jax.lax.psum(g, axis)
+                if axis in getattr(jax.typeof(g), "vma", frozenset())
+                else g
+            ),
+            grads,
+        )
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(
+            state.params, jax.tree.map(lambda u: (-lr) * u, updates)
+        )
+        correct, total = masked_accuracy(logits, labels, masks)
+        metrics = {"loss": loss, "correct": correct, "total": total}
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=state.batch_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    rep = P()
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, (rep, rep, rep), rep, rep, rep),
+        out_specs=(rep, rep),
+        check_vma=True,
+    )
+    if donate:
+        return jax.jit(mapped, donate_argnums=(0,))
+    return jax.jit(mapped)
