@@ -136,8 +136,11 @@ class VoxelUNet3d:
             core = jax.checkpoint(core, static_argnums=())
         voxel_logits = core(p, grid.features.astype(dt))
 
+        # grid-gradient precision follows the model's compute dtype
+        # (bf16 models take the fast bf16 contraction; f32 models get
+        # full-precision grid gradients — ADVICE r2)
         logits = devoxelize_trilinear(
-            voxel_logits, points, mask, grid.lo, grid.scale
+            voxel_logits, points, mask, grid.lo, grid.scale, bwd_dtype=dt
         )
         if train:
             return logits, {}

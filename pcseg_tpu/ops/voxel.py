@@ -16,12 +16,29 @@ over the 8 surrounding voxel centers.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-6
+# HBM cap for the devoxelize-backward one-hot operand (module-level so
+# tests can shrink it to exercise the chunked path on small shapes).
+# 512 MB keeps the benchmarked configs (B8/M8192/R64 bf16 and
+# B1/M16384/R128 bf16, both exactly 512 MB) on the measured single-shot
+# contraction; only larger configs pay the chunked scan.
+_DEVOX_BWD_BUDGET_BYTES = 1 << 29
+
+
+def _zeros_like_vma(shape, ref):
+    """f32 zeros carrying ``ref``'s shard_map varying-axes type — a scan
+    accumulator under vma typing must match its data-dependent updates."""
+    z = jnp.zeros(shape, jnp.float32)
+    vma = getattr(jax.typeof(ref), "vma", frozenset())
+    if vma:
+        z = jax.lax.pcast(z, tuple(vma), to="varying")
+    return z
 
 
 class VoxelGrid(NamedTuple):
@@ -64,17 +81,107 @@ def voxel_indices(
     return flat, lo, scale
 
 
+def _voxelize_scatter(flat, feats, r3, c):
+    """Per-event fused scatter-add (sums + counts)."""
+
+    def scatter_one(flat_e, feats_e):
+        sums = jnp.zeros((r3 + 1, c), jnp.float32).at[flat_e].add(feats_e)
+        cnts = jnp.zeros((r3 + 1,), jnp.float32).at[flat_e].add(1.0)
+        return sums[:r3], cnts[:r3]
+
+    return jax.vmap(scatter_one)(flat, feats)
+
+
+def _voxelize_matmul(flat, feats, r, dt):
+    """Sums + counts as ONE batched one-hot MXU contraction.
+
+    Same trick as the devoxelize backward (``_devox_bwd``): the per-point
+    one-hot over R^3 factorizes per axis, so
+    ``sums[z,y,x,c] = sum_p dz[p,z] dy[p,y] dx[p,x] f[p,c]`` becomes a
+    (R^2, M) @ (M, R*(C+1)) contraction per event — regular MXU work
+    instead of a scatter that serializes per colliding row on TPU. A
+    ones channel rides along as the counts (0/1 one-hots accumulate
+    exactly in the f32 MXU accumulator). Masked points carry the
+    sentinel id R^3, whose z one-hot is all-zero — they contribute
+    nothing (the spill-row semantics of the scatter path). ``dt`` is
+    the operand precision for the FEATURE values (counts are exact
+    either way); chunked over points like the devoxelize backward.
+    """
+    b, m, c = feats.shape
+    r3 = r * r * r
+    fz = flat // (r * r)                      # == r for masked points
+    fy = (flat // r) % r
+    fx = flat % r
+    iota = jnp.arange(r, dtype=flat.dtype)
+    ext = jnp.concatenate(
+        [feats, jnp.ones(feats.shape[:-1] + (1,), feats.dtype)], axis=-1
+    )
+    ext = jnp.where(flat[..., None] < r3, ext, 0.0)
+
+    def contract(fz_c, fy_c, fx_c, ext_c):
+        wz = (fz_c[..., None] == iota).astype(dt)          # (B, Mc, R)
+        wy = (fy_c[..., None] == iota).astype(dt)
+        wx = (fx_c[..., None] == iota).astype(dt)
+        a = (wz[..., :, None] * wy[..., None, :]).reshape(b, -1, r * r)
+        d1 = (wx[..., :, None] * ext_c.astype(dt)[..., None, :]
+              ).reshape(b, -1, r * (c + 1))
+        return jax.lax.dot_general(
+            a, d1, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (B, R^2, R*(C+1))
+
+    budget = _DEVOX_BWD_BUDGET_BYTES
+    row_bytes = b * r * r * jnp.dtype(dt).itemsize
+    chunk = max(1, min(m, budget // max(row_bytes, 1)))
+    if chunk >= m:
+        out = contract(fz, fy, fx, ext)
+    else:
+        nchunks = -(-m // chunk)
+        pad = nchunks * chunk - m
+        # padded slots carry the sentinel index (zero one-hot row)
+        ext_p = jnp.pad(ext, ((0, 0), (0, pad), (0, 0)))
+        fz_p, fy_p, fx_p = (
+            jnp.pad(v, ((0, 0), (0, pad)), constant_values=r)
+            for v in (fz, fy, fx)
+        )
+
+        def body(acc, xs):
+            zc, yc, xc, ec = xs
+            return acc + contract(zc, yc, xc, ec), None
+
+        xs = tuple(
+            v.reshape(b, nchunks, chunk, -1).transpose(1, 0, 2, 3)
+            if v.ndim == 3 else
+            v.reshape(b, nchunks, chunk).transpose(1, 0, 2)
+            for v in (fz_p, fy_p, fx_p, ext_p)
+        )
+        out, _ = jax.lax.scan(
+            body,
+            _zeros_like_vma((b, r * r, r * (c + 1)), feats),
+            xs,
+        )
+    out = out.reshape(b, r, r, r, c + 1)
+    return out[..., :c], out[..., c]
+
+
 def voxelize(
     points: jax.Array,
     mask: jax.Array,
     grid_size: int,
     feature_dim: int | None = None,
+    impl: str = "scatter",
+    matmul_dtype=jnp.bfloat16,
 ) -> VoxelGrid:
     """Scatter-mean point features into an R^3 grid.
 
     points (B, M, 3+F): xyz + features (the reference schema's 4th column
     is energy, pcs.py:34). Features scattered are the raw columns 3:
     plus a constant-1 occupancy channel; output C = F + 1.
+
+    ``impl``: "scatter" (XLA fused scatter-add; f32-exact) or "matmul"
+    (factorized one-hot MXU contraction — see ``_voxelize_matmul``;
+    counts and means are exact up to feature rounding into
+    ``matmul_dtype``, pass jnp.float32 for bit-comparable features).
     """
     coords = points[..., :3].astype(jnp.float32)
     feats = points[..., 3:].astype(jnp.float32)
@@ -88,12 +195,14 @@ def voxelize(
     flat, lo, scale = voxel_indices(coords, mask, grid_size)
     feats = jnp.where(mask[..., None], feats, 0.0)
 
-    def scatter_one(flat_e, feats_e):
-        sums = jnp.zeros((r3 + 1, c), jnp.float32).at[flat_e].add(feats_e)
-        cnts = jnp.zeros((r3 + 1,), jnp.float32).at[flat_e].add(1.0)
-        return sums[:r3], cnts[:r3]
-
-    sums, cnts = jax.vmap(scatter_one)(flat, feats)
+    if impl == "matmul":
+        sums, cnts = _voxelize_matmul(flat, feats, grid_size, matmul_dtype)
+        sums = sums.reshape(sums.shape[0], r3, c)
+        cnts = cnts.reshape(cnts.shape[0], r3)
+    elif impl == "scatter":
+        sums, cnts = _voxelize_scatter(flat, feats, r3, c)
+    else:
+        raise ValueError(f"unknown voxelize impl {impl!r}")
     mean = sums / jnp.maximum(cnts[..., None], 1.0)
     shape = (points.shape[0], grid_size, grid_size, grid_size)
     return VoxelGrid(
@@ -164,13 +273,13 @@ def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
     return jnp.where(mask[..., None], out, 0.0)
 
 
-@jax.custom_vjp
 def devoxelize_trilinear(
     grid_feats: jax.Array,
     points: jax.Array,
     mask: jax.Array,
     lo: jax.Array,
     scale: jax.Array,
+    bwd_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Trilinear interpolation over the 8 voxel centers around each point.
 
@@ -181,14 +290,27 @@ def devoxelize_trilinear(
     per axis (the fwd clips each axis independently), so
     ``dgrid = sum_p Wz[p,:] x Wy[p,:] x Wx[p,:] * go[p,:]`` becomes two
     one-hot expansions and ONE batched MXU contraction
-    ``(zy, p) @ (p, xc)`` — the same one-hot-contraction trick the
-    PointNet pool kernel uses instead of scatters.
+    ``(zy, p) @ (p, xc)``.
+
+    ``bwd_dtype`` sets the precision of that contraction's operands
+    (accumulation is always f32 on the MXU). bfloat16 is the training
+    default (grid gradients feed bf16 matmul backwards anyway); models
+    computing in float32 should pass jnp.float32 for full-precision
+    gradients. The backward chunks the point axis so the one-hot
+    operand never exceeds ~512 MB regardless of (B, M, R).
 
     NOTE: gradients flow to ``grid_feats`` only; ``points``/``lo``/
     ``scale`` get zero cotangents (they are data inputs in every
     training path — a point-coordinate-optimizing use would need the
     reference VJP of ``_devoxelize_trilinear_ref``).
     """
+    return _devoxelize_trilinear_vjp(
+        grid_feats, points, mask, lo, scale, jnp.dtype(bwd_dtype)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _devoxelize_trilinear_vjp(grid_feats, points, mask, lo, scale, bwd_dtype):
     return _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale)
 
 
@@ -204,7 +326,7 @@ def _axis_weights(u1, r):
             + frac[..., None] * (iota == t1))
 
 
-def _devox_fwd(grid_feats, points, mask, lo, scale):
+def _devox_fwd(grid_feats, points, mask, lo, scale, bwd_dtype):
     out = _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale)
     # zero-size token carries the primal's shape/dtype (residuals must be
     # JAX types, not raw dtypes)
@@ -213,23 +335,53 @@ def _devox_fwd(grid_feats, points, mask, lo, scale):
     return out, (points, mask, lo, scale, token, grid_feats.shape[-1])
 
 
-def _devox_bwd(res, go):
-    points, mask, lo, scale, token, c = res
-    b, r = token.shape[0], token.shape[1]
-    gdtype = token.dtype
-    u = _trilinear_u(points, mask, lo, scale)
-    go = jnp.where(mask[..., None], go, 0.0)
-    wz = _axis_weights(u[..., 0], r).astype(jnp.bfloat16)   # (B, M, R)
-    wy = _axis_weights(u[..., 1], r).astype(jnp.bfloat16)
-    wx = _axis_weights(u[..., 2], r).astype(jnp.bfloat16)
-    # (B, M, R*R) and (B, M, R*C) expansions, then contract the point axis
+def _devox_contract(u, go, r, c, dt):
+    """One point-chunk's grid cotangent: (B, R*R, R*C) f32."""
+    b = u.shape[0]
+    wz = _axis_weights(u[..., 0], r).astype(dt)             # (B, Mc, R)
+    wy = _axis_weights(u[..., 1], r).astype(dt)
+    wx = _axis_weights(u[..., 2], r).astype(dt)
+    # (B, Mc, R*R) and (B, Mc, R*C) expansions, contract the point axis
     a = (wz[..., :, None] * wy[..., None, :]).reshape(b, -1, r * r)
-    d1 = (wx[..., :, None] * go.astype(jnp.bfloat16)[..., None, :]
+    d1 = (wx[..., :, None] * go.astype(dt)[..., None, :]
           ).reshape(b, -1, r * c)
-    dgrid = jax.lax.dot_general(
+    return jax.lax.dot_general(
         a, d1, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                       # (B, R*R, R*C)
+
+
+def _devox_bwd(bwd_dtype, res, go):
+    points, mask, lo, scale, token, c = res
+    b, r = token.shape[0], token.shape[1]
+    gdtype = token.dtype
+    m = points.shape[1]
+    u = _trilinear_u(points, mask, lo, scale)
+    go = jnp.where(mask[..., None], go, 0.0)
+
+    # chunk the point axis so the (B, Mc, R*R) one-hot operand stays
+    # under the budget (at B8/M8192/R128 the unchunked operand is ~2 GB)
+    budget = _DEVOX_BWD_BUDGET_BYTES
+    row_bytes = b * r * r * jnp.dtype(bwd_dtype).itemsize
+    chunk = max(1, min(m, budget // max(row_bytes, 1)))
+    if chunk >= m:
+        dgrid = _devox_contract(u, go, r, c, bwd_dtype)
+    else:
+        nchunks = -(-m // chunk)
+        pad = nchunks * chunk - m
+        # padded points carry zero cotangents -> contribute nothing
+        u_p = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+        go_p = jnp.pad(go, ((0, 0), (0, pad), (0, 0)))
+        u_s = u_p.reshape(b, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+        go_s = go_p.reshape(b, nchunks, chunk, c).transpose(1, 0, 2, 3)
+
+        def body(acc, xs):
+            uc, gc = xs
+            return acc + _devox_contract(uc, gc, r, c, bwd_dtype), None
+
+        dgrid, _ = jax.lax.scan(
+            body, _zeros_like_vma((b, r * r, r * c), go), (u_s, go_s)
+        )
     dgrid = dgrid.reshape(b, r, r, r, c).astype(gdtype)
     return (
         dgrid,
@@ -240,4 +392,4 @@ def _devox_bwd(res, go):
     )
 
 
-devoxelize_trilinear.defvjp(_devox_fwd, _devox_bwd)
+_devoxelize_trilinear_vjp.defvjp(_devox_fwd, _devox_bwd)

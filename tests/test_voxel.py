@@ -173,7 +173,89 @@ def test_devoxelize_trilinear_custom_vjp_matches_reference():
     np.testing.assert_allclose(
         np.asarray(d_new), np.asarray(d_ref), atol=2e-2, rtol=2e-2
     )
+    # f32 bwd_dtype: full-precision gradients (ADVICE r2)
+    d_f32 = jax.grad(loss(
+        lambda *a: devoxelize_trilinear(*a, bwd_dtype=jnp.float32)
+    ))(g0)
+    np.testing.assert_allclose(
+        np.asarray(d_f32), np.asarray(d_ref), atol=1e-5, rtol=1e-5
+    )
     # fwd unchanged
     y_ref = _devoxelize_trilinear_ref(g0, pts, mask, grid.lo, grid.scale)
     y_new = devoxelize_trilinear(g0, pts, mask, grid.lo, grid.scale)
     np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref))
+
+
+def test_voxelize_matmul_matches_scatter(rng):
+    """One-hot MXU voxelizer == scatter path: exact counts, exact means
+    in f32, bf16-rounded means in bf16 (VERDICT r2 #2). Covers the spill
+    row (masked points) and the chunked point axis."""
+    import pcseg_tpu.ops.voxel as vox
+
+    points, masks = _batch(rng, b=2, m=128, pad=32)
+    g_sc = vox.voxelize(points, masks, 8)
+    g_mm = vox.voxelize(points, masks, 8, impl="matmul",
+                        matmul_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(g_mm.counts), np.asarray(g_sc.counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_mm.features), np.asarray(g_sc.features),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(g_mm.lo), np.asarray(g_sc.lo))
+    # bf16 operands: counts still exact, features rounded
+    g_bf = vox.voxelize(points, masks, 8, impl="matmul")
+    np.testing.assert_array_equal(
+        np.asarray(g_bf.counts), np.asarray(g_sc.counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_bf.features), np.asarray(g_sc.features),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_voxelize_matmul_chunked_matches(monkeypatch):
+    import pcseg_tpu.ops.voxel as vox
+
+    rng = np.random.default_rng(3)
+    points, masks = _batch(rng, b=2, m=100, pad=20)
+    g_full = vox.voxelize(points, masks, 8, impl="matmul",
+                          matmul_dtype=jnp.float32)
+    monkeypatch.setattr(vox, "_DEVOX_BWD_BUDGET_BYTES", 2 * 64 * 4 * 7)
+    g_chunk = vox.voxelize(points, masks, 8, impl="matmul",
+                           matmul_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(g_chunk.counts), np.asarray(g_full.counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_chunk.features), np.asarray(g_full.features),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_devoxelize_backward_chunked_matches(monkeypatch):
+    """Shrinking the HBM budget forces the point-chunked backward; the
+    accumulated gradient must equal the single-shot contraction."""
+    import pcseg_tpu.ops.voxel as vox
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.normal(size=(2, 50, 4)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 50)) < 0.9)
+    grid = vox.voxelize(pts, mask, 8)
+    g0 = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 3)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(2, 50, 3)), jnp.float32)
+
+    def f(g):
+        y = vox.devoxelize_trilinear(
+            g, pts, mask, grid.lo, grid.scale, bwd_dtype=jnp.float32
+        )
+        return jnp.sum(y * t)
+
+    d_single = jax.grad(f)(g0)
+    # row_bytes = 2*64*4 = 512; budget 512*7 -> chunk 7 (50 = 7*7 + 1)
+    monkeypatch.setattr(vox, "_DEVOX_BWD_BUDGET_BYTES", 512 * 7)
+    d_chunked = jax.grad(f)(g0)
+    np.testing.assert_allclose(
+        np.asarray(d_chunked), np.asarray(d_single), atol=1e-5, rtol=1e-5
+    )
