@@ -119,7 +119,9 @@ def evaluate(
         dataset, batch_size, buckets=buckets,
         feature_dim=model_cfg.input_dim,
     )
-    loss, acc, cm = _run_epoch_eval(eval_step, batcher, state, num_classes, cw)
+    loss, acc, cm, dropped = _run_epoch_eval(
+        eval_step, batcher, state, num_classes, cw
+    )
     f1 = f1_from_confusion(cm)
     if events is None:
         dataset.close()
@@ -129,6 +131,9 @@ def evaluate(
         "f1_macro": f1.macro,
         "f1_weighted": f1.weighted,
         "f1_per_class": f1.per_class.tolist(),
+        # sparse-family capacity overflow (0 elsewhere): occupied
+        # sites/tiles beyond the static capacity across the dataset
+        "dropped": dropped,
         "confusion": cm.tolist(),
     }
 

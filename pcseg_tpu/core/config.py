@@ -70,6 +70,10 @@ class ModelConfig:
     # per event and tile edge (ops/block_sparse.py)
     max_tiles: int = 128
     tile: int = 8
+    # sparse capacity policy: overflow (occupied sites/tiles beyond
+    # max_active/max_tiles) is always COUNTED and logged; strict_capacity
+    # turns a nonzero count into a hard error (train loop + Predictor)
+    strict_capacity: bool = False
 
 
 @dataclass
@@ -99,6 +103,15 @@ class TrainConfig:
     log_every_steps: int = 0
     # Parallelism: number of devices on the mesh 'data' axis (0 = all).
     data_parallel: int = 0
+    # Multi-host (DCN) bring-up: a non-empty coordinator address (e.g.
+    # "10.0.0.1:8476") makes train_model call jax.distributed.initialize
+    # before any device query, so the mesh spans every host's chips and
+    # the same psum/ppermute collectives ride DCN across hosts
+    # (parallel/mesh.py initialize_distributed). Leave num_processes=0 /
+    # process_id=-1 to let JAX infer both from the TPU metadata server.
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     # Per-replica BN running stats (DataParallel semantics, pcs.py:211) vs
     # cross-replica synced BN batch statistics.
     sync_batchnorm: bool = False

@@ -43,6 +43,8 @@ class Predictor:
         model=None,
         fold: bool = True,
         dtype: str = "float32",
+        strict_capacity: bool = False,
+        mesh=None,
     ):
         self.model = model or PointNetSeg(
             num_classes=num_classes, input_dim=input_dim
@@ -81,6 +83,52 @@ class Predictor:
             self._forward = jax.jit(
                 lambda v, p, m: serve_model.apply(v, p, train=False, mask=m)
             )
+        # Sparse-family capacity check: events whose occupied sites/tiles
+        # exceed the model's static capacity get zero logits for the
+        # overflowed voxels — warn (or raise, strict_capacity=True)
+        # instead of silently mispredicting.
+        self.strict_capacity = strict_capacity
+        if hasattr(self.model, "overflow_counts"):
+            om = self.model
+            self._overflow = jax.jit(lambda p, m: om.overflow_counts(p, m))
+        else:
+            self._overflow = None
+        # Data-axis serving: with a mesh, batched forwards shard the
+        # batch over the 'data' axis — the TPU equivalent of the
+        # reference wrapping inference in DataParallel (pcs.py:412-420).
+        # The model is per-event, so XLA partitions the jitted forward
+        # with zero cross-device collectives; params are replicated once.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from pcseg_tpu.parallel.mesh import DATA_AXIS
+
+            self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            rep = NamedSharding(mesh, P())
+            self.variables = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.variables
+            )
+            self._n_data = mesh.shape[DATA_AXIS]
+        else:
+            self._n_data = 1
+
+    def _check_capacity(self, pts, msk) -> int:
+        if self._overflow is None:
+            return 0
+        dropped = int(np.asarray(self._overflow(pts, msk)).sum())
+        if dropped:
+            msg = (
+                f"capacity overflow: {dropped} occupied sites/tiles beyond "
+                f"the model's static capacity — their points read zero "
+                f"logits (raise max_active/max_tiles)"
+            )
+            if self.strict_capacity:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=3)
+        return dropped
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "Predictor":
@@ -108,6 +156,10 @@ class Predictor:
                 kw["model"] = build_model(
                     ModelConfig(**model_cfg), num_classes
                 )
+                kw.setdefault(
+                    "strict_capacity",
+                    bool(model_cfg.get("strict_capacity", False)),
+                )
         return cls(variables, num_classes, **kw)
 
     def logits(self, points: np.ndarray) -> np.ndarray:
@@ -118,9 +170,9 @@ class Predictor:
         labels = np.zeros(n, np.int64)
         pts, _, msk = pad_events([(points, labels)], bucket,
                                  feature_dim=self.input_dim)
-        out = self._forward(
-            self.variables, jnp.asarray(pts), jnp.asarray(msk)
-        )
+        pts, msk = jnp.asarray(pts), jnp.asarray(msk)
+        out = self._forward(self.variables, pts, msk)
+        self._check_capacity(pts, msk)
         return np.asarray(out)[0, :n]
 
     def predict(self, points: np.ndarray) -> np.ndarray:
@@ -137,6 +189,9 @@ class Predictor:
         program per (bucket, batch_size) pair.
         """
         events = [np.asarray(e, np.float32) for e in events]
+        # mesh serving shards the batch dim over 'data' — keep it divisible
+        if self._n_data > 1 and batch_size % self._n_data:
+            batch_size += self._n_data - batch_size % self._n_data
         order = sorted(
             range(len(events)), key=lambda i: events[i].shape[0]
         )
@@ -154,11 +209,12 @@ class Predictor:
                 padded, bucket, batch_size=batch_size,
                 feature_dim=self.input_dim,
             )
-            logits = np.asarray(
-                self._forward(
-                    self.variables, jnp.asarray(pts), jnp.asarray(msk)
-                )
-            )
+            pts, msk = jnp.asarray(pts), jnp.asarray(msk)
+            if self.mesh is not None:
+                pts = jax.device_put(pts, self._batch_sharding)
+                msk = jax.device_put(msk, self._batch_sharding)
+            logits = np.asarray(self._forward(self.variables, pts, msk))
+            self._check_capacity(pts, msk)
             for j, i in enumerate(idx):
                 n = events[i].shape[0]
                 out[i] = np.argmax(logits[j, :n], axis=-1)

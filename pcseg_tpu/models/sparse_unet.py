@@ -118,10 +118,11 @@ class SparseVoxelNet:
         grid = voxelize(points, mask, self.grid_size)
         if self.impl == "dense":
             logits = self._apply_dense(p, grid, points, mask, dt)
+            # dense has no capacity caps — nothing can be dropped
             return (logits, {}) if train else logits
         if self.impl == "block":
-            logits = self._apply_block(p, grid, points, mask, dt)
-            return (logits, {}) if train else logits
+            logits, dropped = self._apply_block(p, grid, points, mask, dt)
+            return (logits, {"__overflow__": dropped}) if train else logits
         sp = sparse_from_grid(grid, self.max_active)
 
         x = sp.feats.astype(dt)
@@ -146,8 +147,41 @@ class SparseVoxelNet:
         sp = sp._replace(feats=x)
         logits = gather_point_logits(site_logits, sp, points, mask)
         if train:
-            return logits, {}
+            return logits, {"__overflow__": sp.dropped}
         return logits
+
+    def overflow_counts(self, points, mask=None) -> jax.Array:
+        """(B,) int32 — occupied sites/tiles beyond the static capacity
+        per event (every level of the block hierarchy counted). Zero for
+        impl='dense' (no caps). Used by eval metrics and the Predictor
+        to surface capacity exhaustion; one voxelize + occupancy scan,
+        no conv work (the feature channels are sliced to width 0)."""
+        from pcseg_tpu.ops.voxel import VoxelGrid
+
+        if mask is None:
+            mask = jnp.ones(points.shape[:2], bool)
+        if self.impl == "dense":
+            return jnp.zeros(points.shape[0], jnp.int32)
+        grid = voxelize(points, mask, self.grid_size)
+        g0 = VoxelGrid(
+            features=grid.features[..., :0],
+            counts=grid.counts,
+            lo=grid.lo,
+            scale=grid.scale,
+        )
+        if self.impl == "block":
+            from pcseg_tpu.ops.block_sparse import (
+                block_pool,
+                block_sparse_from_grid,
+            )
+
+            bs = block_sparse_from_grid(g0, self.max_tiles, self.tile)
+            dropped = bs.dropped
+            for _ in range(1, self.levels):
+                bs, _slots = block_pool(bs, self.max_tiles)
+                dropped = dropped + bs.dropped
+            return dropped
+        return sparse_from_grid(g0, self.max_active).dropped
 
     def _block_stack(self, p, prefix, x, bs, dt):
         from pcseg_tpu.ops.block_sparse import block_subm_conv
@@ -174,6 +208,7 @@ class SparseVoxelNet:
         )
 
         bs = block_sparse_from_grid(grid, self.max_tiles, self.tile)
+        dropped = bs.dropped
         x = self._block_stack(p, "", bs.feats.astype(dt), bs, dt)
 
         if self.levels > 1:
@@ -181,6 +216,7 @@ class SparseVoxelNet:
             cur = bs
             for lv in range(1, self.levels):
                 bsc, slots = block_pool(cur, self.max_tiles)
+                dropped = dropped + bsc.dropped
                 h = block_down2x(
                     p[f"down{lv}"], skips[-1], bsc, slots, compute_dtype=dt
                 )
@@ -211,7 +247,10 @@ class SparseVoxelNet:
             )
             + p["head"]["bias"]
         ).astype(jnp.float32)
-        return block_gather_point_logits(site_logits, bs, points, mask)
+        return (
+            block_gather_point_logits(site_logits, bs, points, mask),
+            dropped,
+        )
 
     @staticmethod
     def _ln_relu_mask(y, ln, active):

@@ -46,6 +46,7 @@ class BlockSparseVoxels(NamedTuple):
     active: jax.Array     # (B, NT, t, t, t) bool per-voxel occupancy
     tile_mask: jax.Array  # (B, NT) bool — real tile vs capacity padding
     lookup: jax.Array     # (B, T^3+1) int32 tile id -> slot, -1 empty
+    dropped: jax.Array    # (B,) int32 occupied tiles beyond capacity
     grid_size: int        # static R
     tile: int             # static t
 
@@ -55,10 +56,12 @@ def block_sparse_from_grid(
 ) -> BlockSparseVoxels:
     """Extract occupied t^3 tiles from a dense VoxelGrid (capacity-capped).
 
-    A tile is occupied iff any of its voxels has points. Tiles beyond
-    ``max_tiles`` are dropped (pick capacity from the data's tile-
-    occupancy distribution; LArTPC tracks at R=64/t=8 occupy ~10-25% of
-    the 512 tiles).
+    A tile is occupied iff any of its voxels has points. Occupied tiles
+    beyond ``max_tiles`` are dropped and their per-event count returned
+    in ``.dropped`` — points in dropped tiles read zero logits, so
+    callers must surface a nonzero count (pick capacity from the data's
+    tile-occupancy distribution; LArTPC tracks at R=64/t=8 occupy
+    ~10-25% of the 512 tiles).
     """
     b, r = grid.features.shape[0], grid.features.shape[1]
     c = grid.features.shape[-1]
@@ -78,8 +81,10 @@ def block_sparse_from_grid(
     tile_occ = flat_occ.reshape(b, nt3, -1).any(axis=-1)
 
     def one(occ_e, feats_e, act_e):
+        occupied = jnp.sum(occ_e.astype(jnp.int32))
         (ids,) = jnp.nonzero(occ_e, size=max_tiles, fill_value=nt3)
         tmask = ids < nt3
+        dropped = jnp.maximum(occupied - max_tiles, 0)
         safe = jnp.where(tmask, ids, 0)
         feats = jnp.where(tmask[:, None, None, None, None], feats_e[safe], 0.0)
         active = jnp.where(tmask[:, None, None, None], act_e[safe], False)
@@ -93,12 +98,12 @@ def block_sparse_from_grid(
             .set(jnp.arange(max_tiles, dtype=jnp.int32))
         )
         lookup = lookup.at[nt3].set(-1)
-        return ijk, feats, active, tmask, lookup
+        return ijk, feats, active, tmask, lookup, dropped
 
-    ijk, feats, active, tmask, lookup = jax.vmap(one)(
+    ijk, feats, active, tmask, lookup, dropped = jax.vmap(one)(
         tile_occ, flat_feats, flat_occ
     )
-    return BlockSparseVoxels(ijk, feats, active, tmask, lookup, r, t)
+    return BlockSparseVoxels(ijk, feats, active, tmask, lookup, dropped, r, t)
 
 
 def _tile_deltas() -> jnp.ndarray:
@@ -262,8 +267,10 @@ def block_pool(
         pflat = ((ijk[:, 0] // 2) * ntc + ijk[:, 1] // 2) * ntc + ijk[:, 2] // 2
         pflat = jnp.where(tmask, pflat, ntc3)
         occ = jnp.zeros((ntc3 + 1,), bool).at[pflat].set(True)[:ntc3]
+        occupied = jnp.sum(occ.astype(jnp.int32))
         (ids,) = jnp.nonzero(occ, size=max_tiles, fill_value=ntc3)
         cmask = ids < ntc3
+        dropped = jnp.maximum(occupied - max_tiles, 0)
         safe = jnp.where(cmask, ids, 0)
         ci = safe // (ntc * ntc)
         cj = (safe // ntc) % ntc
@@ -292,14 +299,14 @@ def block_pool(
         asm = ch.reshape(-1, 2, 2, 2, t, t, t).transpose(0, 1, 4, 2, 5, 3, 6)
         asm = asm.reshape(-1, 2 * t, 2 * t, 2 * t)
         cact = asm.reshape(-1, t, 2, t, 2, t, 2).any(axis=(2, 4, 6))
-        return cijk, cact, cmask, clookup, slots
+        return cijk, cact, cmask, clookup, slots, dropped
 
-    cijk, cact, cmask, clookup, slots = jax.vmap(one)(
+    cijk, cact, cmask, clookup, slots, dropped = jax.vmap(one)(
         bs.tile_ijk, bs.tile_mask, bs.lookup, bs.active
     )
     feats0 = jnp.zeros(cact.shape + (0,), jnp.float32)
     bsc = BlockSparseVoxels(
-        cijk, feats0, cact, cmask, clookup, bs.grid_size // 2, t
+        cijk, feats0, cact, cmask, clookup, dropped, bs.grid_size // 2, t
     )
     return bsc, slots
 

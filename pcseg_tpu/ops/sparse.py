@@ -36,14 +36,17 @@ class SparseVoxels(NamedTuple):
     feats: jax.Array      # (B, A, C) site features
     site_mask: jax.Array  # (B, A) bool — real site vs capacity padding
     lookup: jax.Array     # (B, R^3+1) int32 flat-id -> site index, -1 empty
+    dropped: jax.Array    # (B,) int32 occupied sites beyond capacity
     grid_size: int        # static
 
 
 def sparse_from_grid(grid: VoxelGrid, max_active: int) -> SparseVoxels:
     """Extract occupied voxels from a dense VoxelGrid (capacity-capped).
 
-    Sites beyond ``max_active`` are dropped (log-free truncation; pick
-    capacity from the data's occupancy distribution).
+    Occupied sites beyond ``max_active`` are dropped; the per-event count
+    of dropped sites is returned in ``.dropped`` so callers can surface
+    capacity exhaustion (points in dropped voxels get zero logits —
+    silent truncation would be an invisible accuracy loss).
     """
     r = grid.features.shape[1]
     r3 = r * r * r
@@ -52,8 +55,10 @@ def sparse_from_grid(grid: VoxelGrid, max_active: int) -> SparseVoxels:
     flat_cnt = grid.counts.reshape(b, r3)
 
     def one(cnt_e, feats_e):
+        occupied = jnp.sum((cnt_e > 0).astype(jnp.int32))
         (flat_ids,) = jnp.nonzero(cnt_e > 0, size=max_active, fill_value=r3)
         site_mask = flat_ids < r3
+        dropped = jnp.maximum(occupied - max_active, 0)
         safe = jnp.where(site_mask, flat_ids, 0)
         feats = jnp.where(site_mask[:, None], feats_e[safe], 0.0)
         i = safe // (r * r)
@@ -67,10 +72,12 @@ def sparse_from_grid(grid: VoxelGrid, max_active: int) -> SparseVoxels:
         )
         # sentinel slot must stay -1 (capacity padding writes land there)
         lookup = lookup.at[r3].set(-1)
-        return ijk, feats, site_mask, lookup
+        return ijk, feats, site_mask, lookup, dropped
 
-    ijk, feats, site_mask, lookup = jax.vmap(one)(flat_cnt, flat_feats)
-    return SparseVoxels(ijk, feats, site_mask, lookup, r)
+    ijk, feats, site_mask, lookup, dropped = jax.vmap(one)(
+        flat_cnt, flat_feats
+    )
+    return SparseVoxels(ijk, feats, site_mask, lookup, dropped, r)
 
 
 def _offsets(kernel: int = 3) -> jnp.ndarray:

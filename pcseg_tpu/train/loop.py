@@ -87,9 +87,10 @@ def _run_epoch_train(
     losses = [float(m["loss"]) for m in metrics_list]
     correct = sum(float(m["correct"]) for m in metrics_list)
     total = sum(float(m["total"]) for m in metrics_list)
+    dropped = sum(int(m["dropped"]) for m in metrics_list if "dropped" in m)
     loss = float(np.mean(losses)) if losses else 0.0
     acc = 100.0 * correct / total if total > 0 else 0.0
-    return state, loss, acc
+    return state, loss, acc, dropped
 
 
 def _run_epoch_eval(eval_step, batcher, state, num_classes, cw):
@@ -99,12 +100,13 @@ def _run_epoch_eval(eval_step, batcher, state, num_classes, cw):
     losses = [float(m["loss"]) for m in metrics_list]
     correct = sum(float(m["correct"]) for m in metrics_list)
     total = sum(float(m["total"]) for m in metrics_list)
+    dropped = sum(int(m["dropped"]) for m in metrics_list if "dropped" in m)
     cm = np.zeros((num_classes, num_classes), np.int64)
     for m in metrics_list:
         cm += np.asarray(m["confusion"], np.int64)
     loss = float(np.mean(losses)) if losses else 0.0
     acc = 100.0 * correct / total if total > 0 else 0.0
-    return loss, acc, cm
+    return loss, acc, cm, dropped
 
 
 def train_model(
@@ -119,6 +121,15 @@ def train_model(
     t_cfg, d_cfg, m_cfg, o_cfg = cfg.train, cfg.data, cfg.model, cfg.optim
     if t_cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    # multi-host rendezvous BEFORE the first device query (no-op when no
+    # coordinator is configured — the single-process default)
+    from pcseg_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(
+        t_cfg.coordinator_address or None,
+        t_cfg.num_processes or None,
+        t_cfg.process_id if t_cfg.process_id >= 0 else None,
+    )
 
     # --- class analysis (pcs.py:146-189)
     stats: ClassStats = scan_classes(
@@ -241,13 +252,26 @@ def train_model(
             else contextlib.nullcontext()
         )
         with trace_ctx:
-            state, train_loss, train_acc = _run_epoch_train(
+            state, train_loss, train_acc, train_dropped = _run_epoch_train(
                 train_step, train_iter, state, lr, cw, root, epoch, log,
                 t_cfg.log_every_steps,
             )
-        val_loss, val_acc, cm = _run_epoch_eval(
+        val_loss, val_acc, cm, val_dropped = _run_epoch_eval(
             eval_step, val_iter, state, num_classes, cw
         )
+        if train_dropped or val_dropped:
+            # sparse capacity exhaustion: points in the dropped sites/tiles
+            # read zero logits (ops/sparse.py, ops/block_sparse.py) —
+            # never let that pass silently
+            msg = (
+                f"capacity overflow: {train_dropped} train / "
+                f"{val_dropped} val occupied sites/tiles beyond the "
+                f"static capacity this epoch (raise model.max_active / "
+                f"model.max_tiles)"
+            )
+            if m_cfg.strict_capacity:
+                raise RuntimeError(msg)
+            log(f"WARNING: {msg}")
         f1 = f1_from_confusion(cm)
         f1_target = (
             float(f1.per_class[t_cfg.target_class])
@@ -267,6 +291,8 @@ def train_model(
             "f1_weighted": f1.weighted,
             "f1_per_class": f1.per_class.tolist(),
             "f1_target": f1_target,
+            "dropped_train": train_dropped,
+            "dropped_val": val_dropped,
             "seconds": dt,
         }
         history.append(record)

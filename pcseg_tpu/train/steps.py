@@ -71,6 +71,13 @@ def _make_mapped_train_step(
     ``make_train_step`` (jits it) and ``make_scan_train_steps`` (scans it).
     """
     bn_axis = DATA_AXIS if sync_batchnorm else None
+    # Classifier+CE fused into one kernel (ops/pallas/fused_ce.py): the
+    # (N, C) logits never reach HBM and no C/128-lane-efficiency XLA loss
+    # ops run. Per-replica BN only (same constraint as the fused chain).
+    use_fused_loss = (
+        not sync_batchnorm
+        and getattr(model, "supports_fused_loss", lambda: False)()
+    )
 
     def step(state: TrainState, batch, lr, dropout_key, class_weights):
         points, labels, masks = batch
@@ -81,33 +88,50 @@ def _make_mapped_train_step(
         )
 
         def loss_fn(params):
-            logits, new_bn = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                points,
-                train=True,
-                mask=masks,
-                dropout_key=dropout_key,
-                axis_name=bn_axis,
-            )
-            # Per-shard weighted CE as (numerator, weight-sum) so the
-            # GLOBAL loss (= reference's single-device loss) is
-            # psum(num)/psum(den), not a mean of shard means.
-            num, den = cross_entropy_sums(logits, labels, class_weights)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if use_fused_loss:
+                (num, den, correct), new_bn = model.fused_train_loss(
+                    variables, points, labels, class_weights,
+                    dropout_key=dropout_key,
+                )
+                acc_pair = (correct, jnp.sum(masks.astype(jnp.float32)))
+            else:
+                logits, new_bn = model.apply(
+                    variables,
+                    points,
+                    train=True,
+                    mask=masks,
+                    dropout_key=dropout_key,
+                    axis_name=bn_axis,
+                )
+                # Per-shard weighted CE as (numerator, weight-sum) so the
+                # GLOBAL loss (= reference's single-device loss) is
+                # psum(num)/psum(den), not a mean of shard means.
+                num, den = cross_entropy_sums(logits, labels, class_weights)
+                acc_pair = masked_accuracy(logits, labels, masks)
             gnum = jax.lax.psum(num, DATA_AXIS)
             gden = jnp.maximum(
                 jax.lax.psum(den, DATA_AXIS), jnp.finfo(jnp.float32).tiny
             )
             loss = gnum / gden
-            return loss, (logits, new_bn)
+            return loss, (acc_pair, new_bn)
 
         # Under shard_map's VMA type system (check_vma=True), the gradient
         # of a psum-reduced (replicated) loss w.r.t. replicated params comes
         # back ALREADY psum-reduced across the data axis — JAX inserts the
         # allreduce at the psum transpose. No manual gradient psum (it
         # would multiply grads by the axis size).
-        (loss, (logits, new_bn)), grads = jax.value_and_grad(
+        (loss, (acc_pair, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        # Capacity-overflow counts ride the aux dict under a reserved key
+        # (sparse family: occupied sites/tiles beyond the static capacity,
+        # whose points silently read zero logits). Pop BEFORE the replica-0
+        # batch-stats selection — overflow must SUM across replicas.
+        overflow = (
+            new_bn.pop("__overflow__", None)
+            if isinstance(new_bn, dict) else None
+        )
         # Exception: gradients that flowed through an opaque custom-VJP
         # (the fused Pallas blocks) come back as per-shard partials typed
         # varying-over-data; psum exactly those. Replicated leaves (the
@@ -139,12 +163,16 @@ def _make_mapped_train_step(
             lambda s: jax.lax.psum(s * is_r0, DATA_AXIS), new_bn
         )
 
-        correct, total = masked_accuracy(logits, labels, masks)
+        correct, total = acc_pair
         metrics = {
             "loss": loss,
             "correct": jax.lax.psum(correct, DATA_AXIS),
             "total": jax.lax.psum(total, DATA_AXIS),
         }
+        if overflow is not None:
+            metrics["dropped"] = jax.lax.psum(
+                jnp.sum(overflow.astype(jnp.int32)), DATA_AXIS
+            )
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -258,12 +286,18 @@ def make_eval_step(
         correct, total = masked_accuracy(logits, labels, masks)
         pred = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(pred, labels, masks, num_classes)
-        return {
+        metrics = {
             "loss": num / den,
             "correct": jax.lax.psum(correct, DATA_AXIS),
             "total": jax.lax.psum(total, DATA_AXIS),
             "confusion": jax.lax.psum(cm, DATA_AXIS),
         }
+        if hasattr(model, "overflow_counts"):
+            # sparse family: surface capacity exhaustion in eval too
+            metrics["dropped"] = jax.lax.psum(
+                jnp.sum(model.overflow_counts(points, masks)), DATA_AXIS
+            )
+        return metrics
 
     rep = P()
     shd = P(DATA_AXIS)
