@@ -42,7 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from pcseg_tpu.models.voxel_unet import VoxelUNet3d
 from pcseg_tpu.ops.conv3d import conv3d, conv3d_transpose
 from pcseg_tpu.ops.voxel import devoxelize_trilinear, voxelize
-from pcseg_tpu.parallel.mesh import MODEL_AXIS
+from pcseg_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _resolve_core(model: VoxelUNet3d):
@@ -250,8 +250,14 @@ def _gp_apply(model: VoxelUNet3d, p, points, mask, axis: str, n: int,
     x_local = jax.lax.dynamic_slice_in_dim(
         grid.features, idx * dl, dl, axis=1
     )
-    logits_local = core(
-        model, p, x_local.astype(jnp.dtype(model.compute_dtype)), axis
+    core_fn = lambda p_, x_: core(model, p_, x_, axis)  # noqa: E731
+    if model.remat:
+        # same remat semantics as the unsharded model (voxel_unet.py:135):
+        # the backward replays the core (halo ppermutes included) instead
+        # of keeping every slab activation resident
+        core_fn = jax.checkpoint(core_fn)
+    logits_local = core_fn(
+        p, x_local.astype(jnp.dtype(model.compute_dtype))
     )
     # gather the classifier grid as place-and-psum: every shard writes
     # its slab into a zero full grid and the psum assembles it —
@@ -266,17 +272,25 @@ def _gp_apply(model: VoxelUNet3d, p, points, mask, axis: str, n: int,
     )
     logits_full = jax.lax.psum(full, axis)
     return devoxelize_trilinear(
-        logits_full, points, mask, grid.lo, grid.scale
+        logits_full, points, mask, grid.lo, grid.scale,
+        bwd_dtype=jnp.dtype(model.compute_dtype),
     )
 
 
-def make_gp_forward(model: VoxelUNet3d, mesh: Mesh, axis: str = MODEL_AXIS):
-    """Jitted eval forward with the voxel grid depth-sharded over
-    ``axis``. ``f(variables, points, mask) -> logits (B, M, C)``.
+def make_gp_forward(
+    model: VoxelUNet3d,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+    data_axis: str | None = DATA_AXIS,
+):
+    """Jitted eval forward with the batch sharded over ``data_axis`` and
+    the voxel grid depth-sharded over ``axis``.
+    ``f(variables, points, mask) -> logits (B, M, C)``.
 
-    Points/labels stay replicated (they are tiny next to the grids);
-    voxelize runs per shard and each shard keeps its D/P slab. The mesh
-    ``axis`` size must divide ``model.grid_size / 2^(levels-1)``.
+    Params stay replicated; voxelize runs per data-shard and each depth
+    shard keeps its D/P slab. The mesh ``axis`` size must divide
+    ``model.grid_size / 2^(levels-1)``; the batch must divide the
+    ``data_axis`` size (pass ``data_axis=None`` to replicate it).
     """
     n = mesh.shape[axis]
     _check_shardable(model, n)
@@ -290,11 +304,12 @@ def make_gp_forward(model: VoxelUNet3d, mesh: Mesh, axis: str = MODEL_AXIS):
         return _gp_apply(model, variables["params"], points, mask, axis, n,
                          core)
 
+    bspec = P(data_axis) if data_axis else P()
     mapped = jax.shard_map(
         fwd,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=P(),
+        in_specs=(P(), bspec, bspec),
+        out_specs=bspec,
         check_vma=check,
     )
     return jax.jit(mapped)
@@ -305,16 +320,24 @@ def make_gp_train_step(
     mesh: Mesh,
     optimizer,
     axis: str = MODEL_AXIS,
+    data_axis: str | None = DATA_AXIS,
     donate: bool = False,
 ):
-    """Training step over the depth-sharded U-Net.
+    """Training step over the depth-sharded U-Net, composed with DP.
 
     Same signature as train.steps.make_train_step: ``step(state, batch,
     lr, dropout_key, class_weights) -> (state, metrics)``. The batch is
-    replicated (grid memory, not batch size, is what GP scales); the
+    sharded over the mesh ``data_axis`` while each replica's voxel grid
+    is depth-sharded over ``axis`` — the actual v5e-8 topology for big
+    grids (e.g. data=4 x model=2: 4-way batch parallelism, each sample's
+    256^3 grid split over 2 chips). ``data_axis=None`` replicates the
+    batch (pure GP).
+
+    Collectives: the loss is psum(num)/psum(den) over ``data_axis`` (the
+    same global weighted CE as the DP step, train/steps.py:95-100); the
     gradient collectives are the autodiff transposes of the halo
-    ppermutes and stat psums, plus a psum over any leaf that comes back
-    depth-varying.
+    ppermutes / stat psums plus a psum over every axis a leaf comes back
+    varying on (depth, data, or both).
     """
     import optax
 
@@ -330,6 +353,12 @@ def make_gp_train_step(
         # carry the gradient collectives), and the off-TPU pallas
         # interpreter can't run under it — use the XLA core off-TPU
         core = _gp_core
+    axes = (data_axis, axis) if data_axis else (axis,)
+
+    def _psum_varying(g):
+        vma = getattr(jax.typeof(g), "vma", frozenset())
+        over = tuple(a for a in axes if a in vma)
+        return jax.lax.psum(g, over) if over else g
 
     def step(state, batch, lr, dropout_key, class_weights):
         points, labels, masks = batch
@@ -338,19 +367,15 @@ def make_gp_train_step(
             logits = _gp_apply(model, params, points, mask=masks,
                                axis=axis, n=n, core=core)
             num, den = cross_entropy_sums(logits, labels, class_weights)
+            if data_axis:
+                num = jax.lax.psum(num, data_axis)
+                den = jax.lax.psum(den, data_axis)
             return num / jnp.maximum(den, jnp.finfo(jnp.float32).tiny), logits
 
         (loss, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        grads = jax.tree.map(
-            lambda g: (
-                jax.lax.psum(g, axis)
-                if axis in getattr(jax.typeof(g), "vma", frozenset())
-                else g
-            ),
-            grads,
-        )
+        grads = jax.tree.map(_psum_varying, grads)
         updates, new_opt = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -358,6 +383,9 @@ def make_gp_train_step(
             state.params, jax.tree.map(lambda u: (-lr) * u, updates)
         )
         correct, total = masked_accuracy(logits, labels, masks)
+        if data_axis:
+            correct = jax.lax.psum(correct, data_axis)
+            total = jax.lax.psum(total, data_axis)
         metrics = {"loss": loss, "correct": correct, "total": total}
         new_state = TrainState(
             step=state.step + 1,
@@ -368,10 +396,11 @@ def make_gp_train_step(
         return new_state, metrics
 
     rep = P()
+    bspec = P(data_axis) if data_axis else rep
     mapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(rep, (rep, rep, rep), rep, rep, rep),
+        in_specs=(rep, (bspec, bspec, bspec), rep, rep, rep),
         out_specs=(rep, rep),
         check_vma=True,
     )

@@ -88,6 +88,86 @@ def test_gp_train_step_matches_single_device():
         )
 
 
+def test_dp_x_gp_train_step_matches_single_device():
+    """Composed topology: batch over 'data' x depth over 'model' (2x2).
+    The identity-optimizer param delta must equal the unsharded global
+    gradient, and the loss the global weighted CE (VERDICT r2 #4)."""
+    import optax
+
+    from pcseg_tpu.parallel.gp import make_gp_train_step
+    from pcseg_tpu.train.steps import create_train_state
+
+    rng = np.random.default_rng(3)
+    pts, mask = _inputs(rng, b=4)
+    labels = jnp.asarray(rng.integers(0, 4, size=pts.shape[:2]))
+    model = VoxelUNet3d(num_classes=4, grid_size=16, width=16, levels=2,
+                        compute_dtype="float32", conv_impl="xla")
+    tx = optax.identity()
+    cw = jnp.asarray([1.0, 2.0, 0.5, 1.0], jnp.float32)
+
+    mesh22 = make_mesh(MeshSpec(data=2, model=2), devices=jax.devices()[:4])
+    state = create_train_state(model, jax.random.key(0), tx)
+    step = make_gp_train_step(model, mesh22, tx)
+    new_state, metrics = step(
+        state, (pts, labels, mask), jnp.float32(1e-3), jax.random.key(1), cw
+    )
+
+    from pcseg_tpu.ops.losses import cross_entropy_sums
+
+    def loss(params):
+        logits = model.apply({"params": params}, pts, mask=mask)
+        num, den = cross_entropy_sums(logits, labels, cw)
+        return num / den
+
+    l_ref, g_ref = jax.value_and_grad(loss)(state.params)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(l_ref), rtol=1e-4
+    )
+    delta = jax.tree.map(lambda new, old: old - new,
+                         new_state.params, state.params)
+    for d, g in zip(jax.tree.leaves(delta), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(d) / 1e-3, np.asarray(g), atol=5e-3, rtol=5e-3
+        )
+
+
+def test_gp_remat_matches_no_remat():
+    """model.remat must be honored inside the GP core (ADVICE r2): same
+    forward values and gradients as remat=False."""
+    import dataclasses
+
+    import optax
+
+    from pcseg_tpu.parallel.gp import make_gp_train_step
+    from pcseg_tpu.train.steps import create_train_state
+
+    rng = np.random.default_rng(4)
+    pts, mask = _inputs(rng, b=2)
+    labels = jnp.asarray(rng.integers(0, 4, size=pts.shape[:2]))
+    model = VoxelUNet3d(num_classes=4, grid_size=16, width=16, levels=2,
+                        compute_dtype="float32", conv_impl="xla")
+    tx = optax.identity()
+    cw = jnp.ones((4,), jnp.float32)
+    mesh2 = make_mesh(MeshSpec(data=1, model=2), devices=jax.devices()[:2])
+    state = create_train_state(model, jax.random.key(0), tx)
+
+    outs = {}
+    for remat in (False, True):
+        m = dataclasses.replace(model, remat=remat)
+        step = make_gp_train_step(m, mesh2, tx)
+        st, metrics = step(
+            state, (pts, labels, mask), jnp.float32(1e-3),
+            jax.random.key(1), cw,
+        )
+        outs[remat] = (float(metrics["loss"]), st.params)
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[True][1]),
+                    jax.tree.leaves(outs[False][1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        )
+
+
 def test_gp_fused_forward_matches_unsharded():
     """The lane-packed Pallas core, depth-sharded (halo-concat around
     each fused conv, psum'd lane stats) vs the unsharded fused core."""
