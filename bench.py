@@ -1,7 +1,8 @@
 """Benchmark: end-to-end training-step throughput (points/sec/chip).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "points/sec", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "points/sec", "vs_baseline": N,
+   "voxel_metric": "...", "voxel_value": N, "voxel_ms_per_step": N}
 
 - value: points/sec of the jitted PointNetSeg train step (forward + loss +
   backward + Adam) on the available accelerator, batch 64 x 2048 points —
@@ -10,6 +11,11 @@ Prints ONE JSON line:
   the same step on CPU (the reference's own fallback device, pcs.py:15) —
   measured live when torch is importable, else against a recorded CPU
   number (BASELINE.md).
+- voxel_value: points/sec of the OTHER flagship family — the north-star
+  end-to-end voxelize -> conv3d U-Net -> devoxelize -> CE train step
+  (BASELINE.json config 2: 64^3 grid, w16, bf16, B8 x 8192 points,
+  fused Pallas conv core on TPU). Extra fields so the driver's
+  metric/value contract stays the PointNet number.
 """
 
 from __future__ import annotations
@@ -85,6 +91,58 @@ def bench_jax() -> float:
     dt = time.perf_counter() - t0
     # per chip: total throughput / chips (single-chip here; DP scales batch)
     return BATCH * POINTS * ITERS / dt / n_dev
+
+
+VOX_BATCH, VOX_POINTS, VOX_GRID, VOX_WIDTH = 8, 8192, 64, 16
+
+
+def bench_voxel_jax() -> float:
+    """ms/step of the full voxel-family train step (voxelize -> 3D U-Net
+    -> trilinear devoxelize -> weighted CE -> Adam) on the mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+    from pcseg_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state, make_train_step
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(MeshSpec(data=n_dev))
+    on_tpu = jax.default_backend() == "tpu"
+    model = VoxelUNet3d(
+        num_classes=CLASSES,
+        grid_size=VOX_GRID,
+        width=VOX_WIDTH,
+        levels=3,
+        compute_dtype="bfloat16",
+        conv_impl="fused" if on_tpu else "xla",
+    )
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    train_step = make_train_step(model, tx, mesh, donate=True)
+
+    rng = np.random.default_rng(0)
+    b = VOX_BATCH * max(1, n_dev)
+    points = rng.normal(size=(b, VOX_POINTS, DIM)).astype(np.float32)
+    labels = rng.integers(0, CLASSES, size=(b, VOX_POINTS)).astype(np.int64)
+    masks = np.ones((b, VOX_POINTS), bool)
+    batch = shard_batch(
+        mesh, (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
+    )
+    lr = jnp.float32(1e-3)
+    cw = jnp.ones((CLASSES,), jnp.float32)
+    keys = [jax.random.key(i) for i in range(WARMUP + ITERS)]
+
+    for i in range(WARMUP):
+        state, metrics = train_step(state, batch, lr, keys[i], cw)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = train_step(state, batch, lr, keys[WARMUP + i], cw)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return dt / ITERS * 1e3  # ms/step (whole mesh; per-chip B is VOX_BATCH)
 
 
 def bench_torch_cpu_reference() -> float | None:
@@ -165,16 +223,29 @@ def main():
     else:
         baseline = RECORDED_CPU_BASELINE
     vs = value / baseline if baseline else None
-    print(
-        json.dumps(
+    record = {
+        "metric": "pointnet_train_step_points_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
+    try:
+        vox_ms = bench_voxel_jax()
+        record.update(
             {
-                "metric": "pointnet_train_step_points_per_sec_per_chip",
-                "value": round(value, 1),
-                "unit": "points/sec",
-                "vs_baseline": round(vs, 2) if vs else None,
+                "voxel_metric":
+                    "voxel_unet3d_train_step_points_per_sec_per_chip",
+                "voxel_value": round(VOX_BATCH * VOX_POINTS / vox_ms * 1e3, 1),
+                "voxel_unit": "points/sec",
+                "voxel_ms_per_step": round(vox_ms, 2),
+                "voxel_config":
+                    f"B{VOX_BATCH}x{VOX_POINTS} R{VOX_GRID} "
+                    f"w{VOX_WIDTH} bf16",
             }
         )
-    )
+    except Exception as e:  # never lose the headline metric to a voxel fault
+        record["voxel_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
