@@ -115,6 +115,31 @@ class PointNetSeg:
     def init(self, key: jax.Array) -> dict:
         return pointnet_init(key, self.num_classes, self.input_dim)
 
+    def supports_fused_loss(self) -> bool:
+        """True when the whole-chain fused path INCLUDING the classifier+CE
+        kernel (ops/pallas/fused_ce.py) can drive training on this
+        backend. Cross-device BN configs are excluded the same way
+        ``apply`` excludes them (per-replica stats only)."""
+        return (
+            self.bn_stats == "fused"
+            and not self.mask_norm_and_pool
+            and jax.default_backend() == "tpu"
+        )
+
+    def fused_train_loss(
+        self, variables, points, labels, class_weights, *, dropout_key
+    ):
+        """((num, den, correct), new_batch_stats) — see
+        models/pointnet_fused.pointnet_fused_train_loss. Caller must hold
+        the framework's padding contract: labels == -1 exactly at masked
+        positions (data/batching.py)."""
+        from pcseg_tpu.models.pointnet_fused import pointnet_fused_train_loss
+
+        return pointnet_fused_train_loss(
+            variables, points, labels, class_weights,
+            dropout_key=dropout_key, dropout_rate=self.dropout,
+        )
+
     def apply(self, variables, points, **kw):
         if self.bn_stats == "fused" and kw.get("train"):
             cross_device = (

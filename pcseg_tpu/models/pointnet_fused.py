@@ -99,7 +99,7 @@ def _xla_block(h, mu, inv, gamma, beta, w, b, row_bias, relu, act_dtype,
     return y.astype(act_dtype), s1, s2
 
 
-def pointnet_apply_fused(
+def _fused_chain(
     variables: dict,
     points: jax.Array,
     *,
@@ -108,11 +108,9 @@ def pointnet_apply_fused(
     act_dtype=jnp.bfloat16,
     weight_dtype=jnp.bfloat16,
 ):
-    """Training forward; returns (logits f32, new_batch_stats).
-
-    Gradients flow through every fused block via its custom VJP; the
-    mu/inv glue between blocks is plain XLA, so the batch-statistics
-    gradient path is handled by autodiff.
+    """Shared fused chain through seg_conv3: returns
+    (y_s3 raw pre-norm, (s1_3, s2_3), n, new_bn, shape) — everything the
+    final classifier stage (plain logits OR the fused seg4+CE op) needs.
     """
     params = variables["params"]
     bn = variables["batch_stats"]
@@ -223,8 +221,32 @@ def pointnet_apply_fused(
         True, dropout_rate, True, 0, _pick_tile(n, None, 256, 128), act_dtype,
     )
     update_running("bn_seg3", s1_3, s2_3)
+    return y_s3, (s1_3, s2_3), n, new_bn, (b_, m_)
 
-    mu_s3, inv_s3, _ = _stats_to_norm(s1_3, s2_3, nf)
+
+def pointnet_apply_fused(
+    variables: dict,
+    points: jax.Array,
+    *,
+    dropout_key: Optional[jax.Array],
+    dropout_rate: float,
+    act_dtype=jnp.bfloat16,
+    weight_dtype=jnp.bfloat16,
+):
+    """Training forward; returns (logits f32, new_batch_stats).
+
+    Gradients flow through every fused block via its custom VJP; the
+    mu/inv glue between blocks is plain XLA, so the batch-statistics
+    gradient path is handled by autodiff.
+    """
+    params = variables["params"]
+    y_s3, (s1_3, s2_3), n, new_bn, (b_, m_) = _fused_chain(
+        variables, points,
+        dropout_key=dropout_key, dropout_rate=dropout_rate,
+        act_dtype=act_dtype, weight_dtype=weight_dtype,
+    )
+    seed0 = jnp.zeros((1,), jnp.int32)
+    mu_s3, inv_s3, _ = _stats_to_norm(s1_3, s2_3, jnp.float32(n))
     logits, _, _ = fused_block(
         y_s3, mu_s3, inv_s3,
         params["bn_seg3"]["scale"], params["bn_seg3"]["bias"],
@@ -236,3 +258,44 @@ def pointnet_apply_fused(
         jnp.float32,
     )
     return logits.reshape(b_, m_, -1), new_bn
+
+
+def pointnet_fused_train_loss(
+    variables: dict,
+    points: jax.Array,
+    labels: jax.Array,
+    class_weights: jax.Array,
+    *,
+    dropout_key: Optional[jax.Array],
+    dropout_rate: float,
+    act_dtype=jnp.bfloat16,
+    weight_dtype=jnp.bfloat16,
+):
+    """Fused-chain training LOSS: the classifier layer and the weighted
+    CE run as one kernel (ops/pallas/fused_ce.py), so the (N, C) logits
+    never touch HBM and none of the C/128-lane-efficiency XLA loss ops
+    run (VERDICT r2 #1).
+
+    Returns ((num, den, correct), new_batch_stats): per-shard weighted-CE
+    partial sums (cross_entropy_sums contract — psum num/den across DP
+    shards and divide for the global loss, train/steps.py) and the
+    argmax-correct count over label-valid rows.
+    """
+    from pcseg_tpu.ops.pallas.fused_ce import fused_seg4_ce
+
+    params = variables["params"]
+    y_s3, (s1_3, s2_3), n, new_bn, (b_, m_) = _fused_chain(
+        variables, points,
+        dropout_key=dropout_key, dropout_rate=dropout_rate,
+        act_dtype=act_dtype, weight_dtype=weight_dtype,
+    )
+    mu_s3, inv_s3, _ = _stats_to_norm(s1_3, s2_3, jnp.float32(n))
+    w4 = params["seg_conv4"]["kernel"]
+    num, den, correct = fused_seg4_ce(
+        y_s3, mu_s3, inv_s3,
+        params["bn_seg3"]["scale"], params["bn_seg3"]["bias"],
+        w4, params["seg_conv4"]["bias"],
+        labels.reshape(n), class_weights,
+        w4.shape[1], _pick_tile(n, None, 128, 128),
+    )
+    return (num, den, correct), new_bn
