@@ -119,6 +119,10 @@ def _fwd_kernel(
             s1_ref[:] = jnp.zeros_like(s1_ref)
             s2_ref[:] = jnp.zeros_like(s2_ref)
 
+        # (Tried r3: routing these column sums through MXU ones-row
+        # matmuls instead of the VPU sublane reductions — measured
+        # NEUTRAL-to-worse on the full step, 9.9-10.1 vs 10.1-10.2M
+        # pts/s; the VPU epilogue is not the forward bottleneck.)
         s1_ref[:] += jnp.sum(y, axis=0, keepdims=True)
         s2_ref[:] += jnp.sum(jnp.square(y), axis=0, keepdims=True)
 
