@@ -60,6 +60,9 @@ class ModelConfig:
     levels: int = 0
     # jax.checkpoint rematerialization of the U-Net core (enables 128^3)
     remat: bool = False
+    # voxelizer implementation for the voxel families: "scatter" or
+    # "matmul" (one-hot MXU contraction — ops/voxel.py)
+    voxelize_impl: str = "scatter"
     # sparse_voxelnet: submanifold conv blocks / static active-site
     # capacity per event / kernel implementation ("dense" masked conv is
     # ~2.2x faster than "gather" rulebook on TPU — BASELINE.md)

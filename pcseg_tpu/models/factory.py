@@ -35,6 +35,7 @@ def build_model(cfg: ModelConfig, num_classes: int):
             remat=cfg.remat,
             compute_dtype=cfg.compute_dtype,
             conv_impl=(cfg.impl if cfg.impl in ("fused", "xla") else "auto"),
+            voxelize_impl=cfg.voxelize_impl,
         )
     if cfg.name == "sparse_voxelnet":
         return SparseVoxelNet(

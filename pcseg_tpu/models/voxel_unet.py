@@ -55,6 +55,10 @@ class VoxelUNet3d:
     # requires bfloat16 compute and width * 2^level dividing 128), or
     # "auto" (fused whenever those conditions hold)
     conv_impl: str = "auto"
+    # voxelizer: "scatter" (XLA fused scatter-add) or "matmul" (factorized
+    # one-hot MXU contraction, ops/voxel.py _voxelize_matmul; feature
+    # precision follows compute_dtype)
+    voxelize_impl: str = "scatter"
     # unused knobs kept for duck-type compatibility with PointNetSeg
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -114,7 +118,10 @@ class VoxelUNet3d:
         if mask is None:
             mask = jnp.ones(points.shape[:2], bool)
 
-        grid = voxelize(points, mask, self.grid_size)
+        grid = voxelize(
+            points, mask, self.grid_size,
+            impl=self.voxelize_impl, matmul_dtype=dt,
+        )
 
         core = self._unet_core
         impl = self.conv_impl

@@ -244,7 +244,11 @@ def _gp_apply(model: VoxelUNet3d, p, points, mask, axis: str, n: int,
     if core is None:
         core = _resolve_core(model)
     r = model.grid_size
-    grid = voxelize(points, mask, r)
+    grid = voxelize(
+        points, mask, r,
+        impl=getattr(model, "voxelize_impl", "scatter"),
+        matmul_dtype=jnp.dtype(model.compute_dtype),
+    )
     dl = r // n
     idx = jax.lax.axis_index(axis)
     x_local = jax.lax.dynamic_slice_in_dim(

@@ -259,3 +259,20 @@ def test_devoxelize_backward_chunked_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(d_chunked), np.asarray(d_single), atol=1e-5, rtol=1e-5
     )
+
+
+def test_voxel_unet_matmul_voxelizer_matches(small_events):
+    """voxelize_impl='matmul' (f32) must reproduce the scatter path's
+    logits through the whole model."""
+    import dataclasses
+
+    m_sc = VoxelUNet3d(num_classes=4, grid_size=16, width=8)
+    m_mm = dataclasses.replace(m_sc, voxelize_impl="matmul")
+    variables = m_sc.init(jax.random.key(0))
+    points, labels, masks = pad_events(small_events[:2], 512, 2)
+    pts, msk = jnp.asarray(points), jnp.asarray(masks)
+    l_sc = m_sc.apply(variables, pts, train=False, mask=msk)
+    l_mm = m_mm.apply(variables, pts, train=False, mask=msk)
+    np.testing.assert_allclose(
+        np.asarray(l_mm), np.asarray(l_sc), atol=1e-4, rtol=1e-4
+    )
