@@ -90,41 +90,55 @@ def _fwd_kernel(
     if drop_threshold is not None:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    a = _prologue(
-        x_ref[:],
-        mu_ref[0] if normalize else None,
-        inv_ref[0] if normalize else None,
-        gamma_ref[0] if normalize else None,
-        beta_ref[0] if normalize else None,
-        relu,
-        drop_threshold,
-        drop_scale,
-    ).astype(w_ref.dtype)  # matmul operand precision follows the weights
-
-    y = jax.lax.dot_general(
-        a,
-        w_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[0]
-    if has_row_bias:
-        # full (B, Cout) block; rows of one tile share a batch row
-        y = y + rb_ref[pl.program_id(0) // tiles_per_batch]
-
-    y_ref[:] = y.astype(out_dtype)
-
     if emit_stats:
         @pl.when(pl.program_id(0) == 0)
         def _():
             s1_ref[:] = jnp.zeros_like(s1_ref)
             s2_ref[:] = jnp.zeros_like(s2_ref)
 
-        # (Tried r3: routing these column sums through MXU ones-row
-        # matmuls instead of the VPU sublane reductions — measured
-        # NEUTRAL-to-worse on the full step, 9.9-10.1 vs 10.1-10.2M
-        # pts/s; the VPU epilogue is not the forward bottleneck.)
-        s1_ref[:] += jnp.sum(y, axis=0, keepdims=True)
-        s2_ref[:] += jnp.sum(jnp.square(y), axis=0, keepdims=True)
+    # The per-tile VPU work (normalize/ReLU prologue, stats epilogue)
+    # serializes behind the tile's MXU matmul when written as one
+    # dependency chain — the r3 per-layer profile showed every
+    # non-dropout forward 1.5-7x off its matmul roofline by exactly the
+    # serialized VPU cost. Splitting the tile into independent halves
+    # breaks the chain so Mosaic can overlap half h's matmul (MXU) with
+    # half h+1's prologue / half h-1's epilogue (VPU). Dropout layers
+    # split too: fwd and bwd share one tile size when dropout is active
+    # and both kernels split identically, so the PRNG stream (whose
+    # state serializes the two draws in program order) is consumed in
+    # the same half0-then-half1 order on both sides — masks match.
+    # (An MXU-ones-colsum epilogue measured neutral — the fix is
+    # overlap, not fewer VPU ops.)
+    tile_rows = x_ref.shape[0]
+    nh = 2 if tile_rows % 2 == 0 else 1
+    t = tile_rows // nh
+    for h in range(nh):
+        a = _prologue(
+            x_ref[h * t:(h + 1) * t],
+            mu_ref[0] if normalize else None,
+            inv_ref[0] if normalize else None,
+            gamma_ref[0] if normalize else None,
+            beta_ref[0] if normalize else None,
+            relu,
+            drop_threshold,
+            drop_scale,
+        ).astype(w_ref.dtype)  # matmul operand precision = weight dtype
+
+        y = jax.lax.dot_general(
+            a,
+            w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0]
+        if has_row_bias:
+            # full (B, Cout) block; rows of one tile share a batch row
+            y = y + rb_ref[pl.program_id(0) // tiles_per_batch]
+
+        y_ref[h * t:(h + 1) * t] = y.astype(out_dtype)
+
+        if emit_stats:
+            s1_ref[:] += jnp.sum(y, axis=0, keepdims=True)
+            s2_ref[:] += jnp.sum(jnp.square(y), axis=0, keepdims=True)
 
 
 def _fwd_pallas(
@@ -250,43 +264,6 @@ def _bwd_kernel(
 
     first = pl.program_id(0) == 0
 
-    # effective cotangent on y: dy + ds1 + 2*y*ds2 (stats epilogue VJP)
-    dy = dy_ref[:].astype(jnp.float32)
-    if emit_stats:
-        dy = dy + ds1_ref[0] + 2.0 * y_ref[:].astype(jnp.float32) * ds2_ref[0]
-    dy_b = dy.astype(w_ref.dtype)
-
-    # recompute the prologue activation a (same PRNG stream as fwd)
-    xf = x_ref[:].astype(jnp.float32)
-    if normalize:
-        x_hat = (xf - mu_ref[0]) * inv_ref[0]
-        z = x_hat * gamma_ref[0] + beta_ref[0]
-    else:
-        x_hat = xf
-        z = xf
-    if relu:
-        zr = jnp.maximum(z, 0.0)
-        relu_mask = (z > 0.0).astype(jnp.float32)
-    else:
-        zr = z
-        relu_mask = None
-    if drop_threshold is not None:
-        bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
-        keep = bits >= jnp.uint32(drop_threshold)
-        a = jnp.where(keep, zr * drop_scale, 0.0)
-        drop_mask = jnp.where(keep, drop_scale, 0.0)
-    else:
-        a = zr
-        drop_mask = None
-
-    # dW += a^T @ dy ; db += colsum dy
-    dw_tile = jax.lax.dot_general(
-        a.astype(w_ref.dtype),
-        dy_b,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
     @pl.when(first)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -297,30 +274,79 @@ def _bwd_kernel(
         if has_row_bias:
             drb_ref[:] = jnp.zeros_like(drb_ref)
 
-    dw_ref[:] += dw_tile
-    db_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
-    if has_row_bias:
-        bi = pl.program_id(0) // tiles_per_batch
-        drb_ref[bi, :] += jnp.sum(dy, axis=0)
+    # Same half-splitting as the forward kernel: break the per-tile
+    # VPU -> MXU -> VPU dependency chain so Mosaic can overlap one
+    # half's matmuls with the other half's elementwise work (measured
+    # fwd: conv5 0.78 -> 0.43 ms, seg1 0.42 -> 0.23). Dropout layers
+    # split the same way as the forward (same tile, same halves), so
+    # mask regeneration consumes the PRNG stream in the forward's
+    # half0-then-half1 draw order.
+    tile_rows = x_ref.shape[0]
+    nh = 2 if tile_rows % 2 == 0 else 1
+    t = tile_rows // nh
+    for h in range(nh):
+        sl = slice(h * t, (h + 1) * t)
+        # effective cotangent on y: dy + ds1 + 2*y*ds2 (stats VJP)
+        dy = dy_ref[sl].astype(jnp.float32)
+        if emit_stats:
+            dy = dy + ds1_ref[0] + (
+                2.0 * y_ref[sl].astype(jnp.float32) * ds2_ref[0]
+            )
+        dy_b = dy.astype(w_ref.dtype)
 
-    # da = dy @ W^T ; back through dropout/relu
-    da = jax.lax.dot_general(
-        dy_b,
-        w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if drop_mask is not None:
-        da = da * drop_mask
-    dz = da * relu_mask if relu_mask is not None else da
+        # recompute the prologue activation a (same PRNG stream as fwd)
+        xf = x_ref[sl].astype(jnp.float32)
+        if normalize:
+            x_hat = (xf - mu_ref[0]) * inv_ref[0]
+            z = x_hat * gamma_ref[0] + beta_ref[0]
+        else:
+            x_hat = xf
+            z = xf
+        if relu:
+            zr = jnp.maximum(z, 0.0)
+            relu_mask = (z > 0.0).astype(jnp.float32)
+        else:
+            zr = z
+            relu_mask = None
+        if drop_threshold is not None:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
+            keep = bits >= jnp.uint32(drop_threshold)
+            a = jnp.where(keep, zr * drop_scale, 0.0)
+            drop_mask = jnp.where(keep, drop_scale, 0.0)
+        else:
+            a = zr
+            drop_mask = None
 
-    if normalize:
-        dg_ref[:] += jnp.sum(dz * x_hat, axis=0, keepdims=True)
-        dbta_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
-        dx = dz * gamma_ref[0] * inv_ref[0]
-    else:
-        dx = dz
-    dx_ref[:] = dx.astype(dx_ref.dtype)
+        # dW += a^T @ dy ; db += colsum dy
+        dw_ref[:] += jax.lax.dot_general(
+            a.astype(w_ref.dtype),
+            dy_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+        if has_row_bias:
+            bi = pl.program_id(0) // tiles_per_batch
+            drb_ref[bi, :] += jnp.sum(dy, axis=0)
+
+        # da = dy @ W^T ; back through dropout/relu
+        da = jax.lax.dot_general(
+            dy_b,
+            w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if drop_mask is not None:
+            da = da * drop_mask
+        dz = da * relu_mask if relu_mask is not None else da
+
+        if normalize:
+            dg_ref[:] += jnp.sum(dz * x_hat, axis=0, keepdims=True)
+            dbta_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+            dx = dz * gamma_ref[0] * inv_ref[0]
+        else:
+            dx = dz
+        dx_ref[sl] = dx.astype(dx_ref.dtype)
 
 
 def _bwd_pallas(

@@ -39,8 +39,8 @@ LANES = 128
 NEG = -1.0e30
 
 
-def _prologue(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref):
-    xf = x_ref[:].astype(jnp.float32)
+def _prologue(x, mu_ref, inv_ref, gamma_ref, beta_ref):
+    xf = x.astype(jnp.float32)
     x_hat = (xf - mu_ref[0]) * inv_ref[0]
     z = x_hat * gamma_ref[0] + beta_ref[0]
     return x_hat, jnp.maximum(z, 0.0)
@@ -57,74 +57,56 @@ def _logits_tile(a, w_ref, b_ref, lane_valid):
 
 def _fwd_kernel(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref, w_ref, b_ref,
                 lab_ref, cw_ref, acc_ref, *, num_classes: int):
-    tile = x_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
-    lane_valid = lane < num_classes
-
-    _, zr = _prologue(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref)
-    a = zr.astype(w_ref.dtype)
-    logits = _logits_tile(a, w_ref, b_ref, lane_valid)
-
-    lab = lab_ref[:]                                   # (tile, 1) int32
-    valid = (lab >= 0).astype(jnp.float32)             # (tile, 1)
-    onehot = (lab == lane).astype(jnp.float32)         # (tile, LANES)
-    wrow = jnp.sum(onehot * cw_ref[0], axis=-1, keepdims=True) * valid
-
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    se = jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True)
-    lse = jnp.log(se) + mx
-    true_logit = jnp.sum(onehot * logits, axis=-1, keepdims=True)
-    num_t = jnp.sum(wrow * (lse - true_logit))
-    den_t = jnp.sum(wrow)
-
-    # argmax = first lane attaining the max (torch argmax tie rule)
-    amax = jnp.min(
-        jnp.where(logits >= mx, lane, LANES), axis=-1, keepdims=True
-    )
-    correct_t = jnp.sum(valid * (amax == lab).astype(jnp.float32))
-
     @pl.when(pl.program_id(0) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # half-split like fused_block: lets the second half's prologue/CE
+    # VPU work overlap the first half's matmul on the MXU
+    tile = x_ref.shape[0]
+    nh = 2 if tile % 2 == 0 else 1
+    t = tile // nh
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    acc_ref[:] += (
-        jnp.where(out_lane == 0, num_t, 0.0)
-        + jnp.where(out_lane == 1, den_t, 0.0)
-        + jnp.where(out_lane == 2, correct_t, 0.0)
-    )
+    for h in range(nh):
+        sl = slice(h * t, (h + 1) * t)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (t, LANES), 1)
+        lane_valid = lane < num_classes
+
+        _, zr = _prologue(
+            x_ref[sl], mu_ref, inv_ref, gamma_ref, beta_ref
+        )
+        a = zr.astype(w_ref.dtype)
+        logits = _logits_tile(a, w_ref, b_ref, lane_valid)
+
+        lab = lab_ref[sl]                              # (t, 1) int32
+        valid = (lab >= 0).astype(jnp.float32)         # (t, 1)
+        onehot = (lab == lane).astype(jnp.float32)     # (t, LANES)
+        wrow = jnp.sum(onehot * cw_ref[0], axis=-1, keepdims=True) * valid
+
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        se = jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True)
+        lse = jnp.log(se) + mx
+        true_logit = jnp.sum(onehot * logits, axis=-1, keepdims=True)
+        num_t = jnp.sum(wrow * (lse - true_logit))
+        den_t = jnp.sum(wrow)
+
+        # argmax = first lane attaining the max (torch argmax tie rule)
+        amax = jnp.min(
+            jnp.where(logits >= mx, lane, LANES), axis=-1, keepdims=True
+        )
+        correct_t = jnp.sum(valid * (amax == lab).astype(jnp.float32))
+
+        acc_ref[:] += (
+            jnp.where(out_lane == 0, num_t, 0.0)
+            + jnp.where(out_lane == 1, den_t, 0.0)
+            + jnp.where(out_lane == 2, correct_t, 0.0)
+        )
 
 
 def _bwd_kernel(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref, w_ref, b_ref,
                 lab_ref, cw_ref, ct_ref,
                 dx_ref, dw_ref, db_ref, dg_ref, dbta_ref,
                 *, num_classes: int):
-    tile = x_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
-    lane_valid = lane < num_classes
-
-    x_hat, zr = _prologue(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref)
-    a = zr.astype(w_ref.dtype)
-    logits = _logits_tile(a, w_ref, b_ref, lane_valid)
-
-    lab = lab_ref[:]
-    valid = (lab >= 0).astype(jnp.float32)
-    onehot = (lab == lane).astype(jnp.float32)
-    wrow = jnp.sum(onehot * cw_ref[0], axis=-1, keepdims=True) * valid
-
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    ex = jnp.exp(logits - mx)
-    p = ex / jnp.sum(ex, axis=-1, keepdims=True)
-    # padded lanes: p ~ 0 and onehot = 0 -> dlogits 0 there
-    dlogits = (ct_ref[0] * wrow) * (p - onehot)
-
-    dl_b = dlogits.astype(w_ref.dtype)
-    dw_tile = jax.lax.dot_general(
-        a, dl_b,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
     @pl.when(pl.program_id(0) == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -132,18 +114,48 @@ def _bwd_kernel(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref, w_ref, b_ref,
         dg_ref[:] = jnp.zeros_like(dg_ref)
         dbta_ref[:] = jnp.zeros_like(dbta_ref)
 
-    dw_ref[:] += dw_tile
-    db_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
+    tile = x_ref.shape[0]
+    nh = 2 if tile % 2 == 0 else 1
+    t = tile // nh
+    for h in range(nh):
+        sl = slice(h * t, (h + 1) * t)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (t, LANES), 1)
+        lane_valid = lane < num_classes
 
-    da = jax.lax.dot_general(
-        dl_b, w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dz = da * (zr > 0.0).astype(jnp.float32)
-    dg_ref[:] += jnp.sum(dz * x_hat, axis=0, keepdims=True)
-    dbta_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
-    dx_ref[:] = (dz * gamma_ref[0] * inv_ref[0]).astype(dx_ref.dtype)
+        x_hat, zr = _prologue(
+            x_ref[sl], mu_ref, inv_ref, gamma_ref, beta_ref
+        )
+        a = zr.astype(w_ref.dtype)
+        logits = _logits_tile(a, w_ref, b_ref, lane_valid)
+
+        lab = lab_ref[sl]
+        valid = (lab >= 0).astype(jnp.float32)
+        onehot = (lab == lane).astype(jnp.float32)
+        wrow = jnp.sum(onehot * cw_ref[0], axis=-1, keepdims=True) * valid
+
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        ex = jnp.exp(logits - mx)
+        p = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        # padded lanes: p ~ 0 and onehot = 0 -> dlogits 0 there
+        dlogits = (ct_ref[0] * wrow) * (p - onehot)
+
+        dl_b = dlogits.astype(w_ref.dtype)
+        dw_ref[:] += jax.lax.dot_general(
+            a, dl_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[:] += jnp.sum(dlogits, axis=0, keepdims=True)
+
+        da = jax.lax.dot_general(
+            dl_b, w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dz = da * (zr > 0.0).astype(jnp.float32)
+        dg_ref[:] += jnp.sum(dz * x_hat, axis=0, keepdims=True)
+        dbta_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+        dx_ref[sl] = (dz * gamma_ref[0] * inv_ref[0]).astype(dx_ref.dtype)
 
 
 def _specs(tile, cin, with_ct):
