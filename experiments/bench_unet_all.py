@@ -95,7 +95,10 @@ def main(b=8, npts=8192, r=64, w=16, levels=3):
 
         def fb(pp, g=g):
             gr = g(p, pp)
-            return pp + jax.tree.leaves(gr)[0].mean() * 1e-6
+            # depend on EVERY grad leaf or XLA DCEs most of the backward
+            tot = sum(jnp.sum(x).astype(jnp.float32)
+                      for x in jax.tree.leaves(gr))
+            return pp + tot.astype(pp.dtype) * 1e-9
 
         runs2[f"full step {impl}"] = (make_runs(fb, K), make_runs(fb, 4 * K))
 

@@ -55,10 +55,10 @@ class VoxelUNet3d:
     # requires bfloat16 compute and width * 2^level dividing 128), or
     # "auto" (fused whenever those conditions hold)
     conv_impl: str = "auto"
-    # voxelizer: "scatter" (XLA fused scatter-add) or "matmul" (factorized
+    # voxelizer: "scatter" (XLA fused scatter-add), "matmul" (factorized
     # one-hot MXU contraction, ops/voxel.py _voxelize_matmul; feature
-    # precision follows compute_dtype)
-    voxelize_impl: str = "scatter"
+    # precision follows compute_dtype), or "auto" (measured crossover)
+    voxelize_impl: str = "auto"
     # unused knobs kept for duck-type compatibility with PointNetSeg
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -177,7 +177,6 @@ class VoxelUNet3d:
             fused_conv3x3_p,
             head1x1_packed,
             pack_grid,
-            packed_stats,
             stats_scale_shift,
             up2x_packed,
         )
@@ -232,18 +231,20 @@ class VoxelUNet3d:
             sc, sh = fold(st, f"enc{i}_b_gn", i)
             if i < self.levels - 1:
                 skips.append((xp, sc, sh, meta))
-                xp, meta = down2x_packed(
+                xp, meta, st = down2x_packed(
                     act_packed(xp, sc, sh),
                     p[f"down{i}"]["kernel"], p[f"down{i}"]["bias"], meta,
+                    want_stats=True,
                 )
-                sc, sh = fold(packed_stats(xp), f"down{i}_gn", i + 1)
+                sc, sh = fold(st, f"down{i}_gn", i + 1)
         for i in range(self.levels - 2, -1, -1):
             wi = widths[i]
-            up_p, meta = up2x_packed(
+            up_p, meta, st_u = up2x_packed(
                 act_packed(xp, sc, sh),
                 p[f"up{i}"]["kernel"], p[f"up{i}"]["bias"], meta,
+                want_stats=True,
             )
-            sc_u, sh_u = fold(packed_stats(up_p), f"up{i}_gn", i)
+            sc_u, sh_u = fold(st_u, f"up{i}_gn", i)
             skip_p, sc_s, sh_s, meta = skips[i]
             wk = p[f"dec{i}_a"]["kernel"]
             bias_a = p[f"dec{i}_a"]["bias"]

@@ -156,30 +156,39 @@ def _prep_slab(slab, scale_ref, shift_ref, activate, valid=None):
     return s.astype(jnp.bfloat16)
 
 
-def _prep_window(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate, kd):
-    """Activate the kd-slice window plus its two 1-slab halos.
+def _window_prep_fn(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate,
+                    kd, u, c):
+    """Activated-slab accessor for the kd-slice window + two 1-slab halos.
 
-    Returns (a_prev, [a_cur_0..kd-1], a_next). Each program covers d in
-    [j*kd, (j+1)*kd); halos are clamped reads masked to zero at the
-    volume boundaries. Reading kd slices + 2 halos per program puts the
-    read amplification at 1 + 2/kd instead of the 3x of the one-slice-
-    per-program formulation (every slab read as prev, cur, and next)."""
+    Each program covers d in [j*kd, (j+1)*kd); halos are clamped reads
+    masked to zero at the volume boundaries. Reading kd slices + 2 halos
+    per program puts the read amplification at 1 + 2/kd instead of the
+    3x of the one-slice-per-program formulation.
+
+    Returns prep(i) mapping window index i (0 = prev halo, 1..kd = the
+    kd cur slices, kd+1 = next halo) to its (activated slab, edge panel)
+    pair. Callers emit prep lazily — only the 3 slabs slice 0 needs up
+    front, then the one new slab per slice BEFORE that slice's matmuls —
+    so the VPU prologue of slice k+1 overlaps slice k's MXU work instead
+    of the whole window prep serializing ahead of the first matmul (same
+    overlap trick as the half-split fused_block tiles)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     one = jnp.float32(1.0)
-    a_cur = [
-        _prep_slab(x0_ref[0, k], scale_ref, shift_ref, activate)
-        for k in range(kd)
-    ]
-    a_prev = _prep_slab(
-        xm_ref[0, 0], scale_ref, shift_ref, activate,
-        jnp.where(j > 0, one, 0.0),
-    )
-    a_next = _prep_slab(
-        xp_ref[0, 0], scale_ref, shift_ref, activate,
-        jnp.where(j < nj - 1, one, 0.0),
-    )
-    return a_prev, a_cur, a_next
+
+    def prep(i):
+        if i == 0:
+            s = _prep_slab(xm_ref[0, 0], scale_ref, shift_ref, activate,
+                           jnp.where(j > 0, one, 0.0))
+        elif i <= kd:
+            s = _prep_slab(x0_ref[0, i - 1], scale_ref, shift_ref,
+                           activate)
+        else:
+            s = _prep_slab(xp_ref[0, 0], scale_ref, shift_ref, activate,
+                           jnp.where(j < nj - 1, one, 0.0))
+        return s, _edge_panel(s, u, c)
+
+    return prep
 
 
 def _pick_kd(d: int, rows: int, has_accum: bool = False) -> int:
@@ -200,40 +209,57 @@ def _pick_kd(d: int, rows: int, has_accum: bool = False) -> int:
     return kd
 
 
-def _edge_patch(slabs, u: int, c: int):
-    """(rows, 18C) patch of the C-lane columns crossing the lane-block
-    boundary, one (left, right) pair per (dz, dy) tap."""
-    rows = slabs[0].shape[0]
+def _edge_panel(slab, u: int, c: int):
+    """(rows, 6C) panel of the C-lane columns crossing the lane-block
+    boundary: one (left, right) chunk pair per dy in (-1, 0, 1).
+
+    Built ONCE per activated slab. The anatomy bench
+    (experiments/bench_conv3d_anatomy.py) showed the per-slice 18-chunk
+    patch build was ~35% of the whole forward kernel — every slab's
+    chunks were rebuilt three times (once per prev/cur/next role).
+    Consumers matmul the panel against the contiguous 6C-row block of
+    the edge weight for that dz tap (same row order as pack_weights:
+    (dz*3 + dy) * 2C + side*C).
+
+    The shifts stay on the full 128-lane slab (column slice after):
+    row-shifting the narrow (rows, C) panels instead would be less data
+    movement but lowers to a sublane-offset `tpu.concatenate` Mosaic
+    rejects ("result/input offset mismatch on non-concat dimension")."""
+    rows = slab.shape[0]
     uid = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 0) % u
     chunks = []
-    for slab in slabs:
-        for dy in (-1, 0, 1):
-            left = _shift_rows(slab, dy * u - 1)[:, LANES - c :]
-            chunks.append(jnp.where(uid == 0, 0.0, left))
-            right = _shift_rows(slab, dy * u + 1)[:, :c]
-            chunks.append(jnp.where(uid == u - 1, 0.0, right))
+    for dy in (-1, 0, 1):
+        left = _shift_rows(slab, dy * u - 1)[:, LANES - c :]
+        chunks.append(jnp.where(uid == 0, 0.0, left))
+        right = _shift_rows(slab, dy * u + 1)[:, :c]
+        chunks.append(jnp.where(uid == u - 1, 0.0, right))
     return jnp.concatenate(chunks, axis=1)
 
 
-def _conv_core(slabs, wm_ref, we_ref, u: int, c: int):
-    """9 per-tap banded matmuls + 1 edge matmul -> f32 (rows, 128).
+def _conv_core(pairs, wm_ref, we_ref, u: int, c: int):
+    """9 per-tap banded matmuls + 3 per-slab edge matmuls -> f32
+    (rows, 128). ``pairs``: three (slab, edge_panel) tuples.
 
     (A single deep (rows, 1152) @ (1152, 128) matmul of the concatenated
     taps measured the same at the core level and adds a large VMEM
-    transient — the per-tap accumulation chain pipelines fine.)"""
-    rows = slabs[0].shape[0]
+    transient — the per-tap accumulation chain pipelines fine.) Each
+    slab's precomputed (rows, 6C) edge panel multiplies the contiguous
+    6C-row block of the edge weight for its dz position."""
+    rows = pairs[0][0].shape[0]
     acc = jnp.zeros((rows, LANES), jnp.float32)
-    t = 0
-    for slab in slabs:
+    for dz, (slab, panel) in enumerate(pairs):
+        acc = acc + jnp.dot(
+            panel, we_ref[dz * 6 * c : (dz + 1) * 6 * c],
+            preferred_element_type=jnp.float32,
+        )
         for dy in (-1, 0, 1):
             sh = _shift_rows(slab, dy * u)
             acc = acc + jnp.dot(
-                sh, wm_ref[t * LANES : (t + 1) * LANES],
+                sh, wm_ref[(3 * dz + dy + 1) * LANES :
+                           (3 * dz + dy + 2) * LANES],
                 preferred_element_type=jnp.float32,
             )
-            t += 1
-    pe = _edge_patch(slabs, u, c)
-    return acc + jnp.dot(pe, we_ref[:], preferred_element_type=jnp.float32)
+    return acc
 
 
 def _halo_specs(rows: int, kd: int, d: int):
@@ -265,30 +291,38 @@ def _kernel(*refs, u: int, c: int, kd: int, activate: bool, want_stats: bool,
     y_ref = next(it)
     stats_ref = next(it) if want_stats else None
 
-    a_prev, a_cur, a_next = _prep_window(
-        xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate, kd
-    )
+    # Software-pipelined window: slice k consumes window[k:k+3]; the one
+    # slab slice k+1 newly needs is appended BEFORE slice k's matmuls.
+    prep = _window_prep_fn(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref,
+                           activate, kd, u, c)
+    window = [prep(0), prep(1), prep(2)]
 
     if want_stats:
         # per-lane sum / sumsq of the layer output, accumulated across
-        # the d grid axis (out block index is d-invariant -> stays in VMEM)
+        # the d grid axis (out block index is d-invariant -> stays in
+        # VMEM). Two parity-split local accumulators break the serial
+        # through-memory chain between slices; one += at the end.
         @pl.when(pl.program_id(1) == 0)
         def _():
             stats_ref[0] = jnp.zeros_like(stats_ref[0])
 
+        s_acc = [jnp.zeros((2, LANES), jnp.float32) for _ in range(2)]
+
     for k in range(kd):
-        slabs = [
-            a_prev if k == 0 else a_cur[k - 1],
-            a_cur[k],
-            a_next if k == kd - 1 else a_cur[k + 1],
-        ]
-        acc = _conv_core(slabs, wm_ref, we_ref, u, c) + bias_ref[0]
+        if k + 1 < kd:
+            window.append(prep(k + 3))
+        acc = _conv_core(window[k : k + 3], wm_ref, we_ref, u, c) \
+            + bias_ref[0]
         if has_accum:
             acc = acc + accum_ref[0, k].astype(jnp.float32)
         y_ref[0, k] = acc.astype(y_ref.dtype)
         if want_stats:
-            stats_ref[0, 0] += jnp.sum(acc, axis=0)
-            stats_ref[0, 1] += jnp.sum(acc * acc, axis=0)
+            s_acc[k % 2] = s_acc[k % 2] + jnp.stack(
+                [jnp.sum(acc, axis=0), jnp.sum(acc * acc, axis=0)]
+            )
+
+    if want_stats:
+        stats_ref[0] += s_acc[0] + s_acc[1]
 
 
 def _conv_pallas_meta(
@@ -366,30 +400,37 @@ def _dgrad_kernel(
 ):
     """da = conv(gy, flip(w)^T); dx = da * relu' * scale; plus the per-lane
     dscale/dshift reductions, accumulated over the d grid dimension."""
-    g_prev, g_cur, g_next = _prep_window(
-        gym_ref, gy0_ref, gyp_ref, None, None, False, kd
-    )
+    prep = _window_prep_fn(gym_ref, gy0_ref, gyp_ref, None, None, False, kd,
+                           u, c)
+    window = [prep(0), prep(1), prep(2)]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dstats_ref[0] = jnp.zeros_like(dstats_ref[0])
 
+    if activate:
+        s_acc = [jnp.zeros((2, LANES), jnp.float32) for _ in range(2)]
+
     for k in range(kd):
-        slabs = [
-            g_prev if k == 0 else g_cur[k - 1],
-            g_cur[k],
-            g_next if k == kd - 1 else g_cur[k + 1],
-        ]
-        da = _conv_core(slabs, wm_ref, we_ref, u, c)
+        if k + 1 < kd:
+            window.append(prep(k + 3))
+        # the epilogue's x read/upcast is VPU work independent of the
+        # matmuls — emit it ahead of them too
         if activate:
             xs = x0_ref[0, k].astype(jnp.float32)
             pre = xs * scale_ref[0, 0] + shift_ref[0, 0]
+        da = _conv_core(window[k : k + 3], wm_ref, we_ref, u, c)
+        if activate:
             dam = jnp.where(pre > 0, da, 0.0)
             dx_ref[0, k] = (dam * scale_ref[0, 0]).astype(dx_ref.dtype)
-            dstats_ref[0, 0] += jnp.sum(dam * xs, axis=0)
-            dstats_ref[0, 1] += jnp.sum(dam, axis=0)
+            s_acc[k % 2] = s_acc[k % 2] + jnp.stack(
+                [jnp.sum(dam * xs, axis=0), jnp.sum(dam, axis=0)]
+            )
         else:
             dx_ref[0, k] = da.astype(dx_ref.dtype)
+
+    if activate:
+        dstats_ref[0] += s_acc[0] + s_acc[1]
 
 
 def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
@@ -446,9 +487,9 @@ def _wgrad_kernel(
 ):
     """dwm_t += a_shifted^T @ gy; dwe += pe^T @ gy; dbias += sum(gy) —
     all three accumulated across the entire (b, d) grid."""
-    a_prev, a_cur, a_next = _prep_window(
-        xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate, kd
-    )
+    prep = _window_prep_fn(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref,
+                           activate, kd, u, c)
+    window = [prep(0), prep(1), prep(2)]
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
@@ -457,26 +498,25 @@ def _wgrad_kernel(
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     dn = (((0,), (0,)), ((), ()))
+    db_acc = [jnp.zeros((LANES,), jnp.float32) for _ in range(2)]
     for k in range(kd):
-        slabs = [
-            a_prev if k == 0 else a_cur[k - 1],
-            a_cur[k],
-            a_next if k == kd - 1 else a_cur[k + 1],
-        ]
+        if k + 1 < kd:
+            window.append(prep(k + 3))
         gy = gy0_ref[0, k]
-        t = 0
-        for slab in slabs:
+        for dz, (slab, panel) in enumerate(window[k : k + 3]):
+            dwe_ref[dz * 6 * c : (dz + 1) * 6 * c] += jax.lax.dot_general(
+                panel, gy, dn, preferred_element_type=jnp.float32
+            )
             for dy in (-1, 0, 1):
                 sh = _shift_rows(slab, dy * u)
+                t = 3 * dz + dy + 1
                 dwm_ref[t * LANES : (t + 1) * LANES] += jax.lax.dot_general(
                     sh, gy, dn, preferred_element_type=jnp.float32
                 )
-                t += 1
-        pe = _edge_patch(slabs, u, c)
-        dwe_ref[:] += jax.lax.dot_general(
-            pe, gy, dn, preferred_element_type=jnp.float32
+        db_acc[k % 2] = db_acc[k % 2] + jnp.sum(
+            gy.astype(jnp.float32), axis=0
         )
-        dbias_ref[0] += jnp.sum(gy.astype(jnp.float32), axis=0)
+    dbias_ref[0] += db_acc[0] + db_acc[1]
 
 
 def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
@@ -819,11 +859,15 @@ def _bias_lane(bias, c):
     return jnp.tile(bias.astype(jnp.float32), LANES // c)
 
 
-def down2x_packed(xp, w, bias, meta):
+def down2x_packed(xp, w, bias, meta, want_stats=False):
     """Stride-2 k=2 conv on the packed form: meta (h,u,c) -> (h/2,u,2c).
 
     w: (2, 2, 2, C, 2C) DHWIO — same params as ops/conv3d.py conv3d
     (stride=2); numerics identical modulo bf16 summation order.
+    ``want_stats`` additionally returns the next GroupNorm's per-lane
+    (B, 2, 128) (sum, sumsq), reduced from the f32 accumulator in the
+    same fusion instead of a separate packed_stats HBM pass over the
+    bf16 output (stats are therefore pre-rounding).
     """
     h, u, c = meta
     b, d, rows, _ = xp.shape
@@ -843,17 +887,27 @@ def down2x_packed(xp, w, bias, meta):
                 s, wd[dz, dy], (((3,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    yp = (acc + _bias_lane(bias, c2)).astype(jnp.bfloat16)
+    yf = acc + _bias_lane(bias, c2)
+    yp = yf.astype(jnp.bfloat16)
+    if want_stats:
+        stats = jnp.stack(
+            [jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))],
+            axis=1,
+        )
+        return yp, (h // 2, u, c2), stats
     return yp, (h // 2, u, c2)
 
 
-def up2x_packed(xp, w, bias, meta):
+def up2x_packed(xp, w, bias, meta, want_stats=False):
     """Stride-2 k=2 TRANSPOSED conv on the packed form:
     meta (h',u,c2) -> (2h',u,c2/2).
 
     w: (2, 2, 2, C2, C2/2) — same params as ops/conv3d.py conv3d_transpose
     (which places x[i'] @ w[1-dz,1-dy,1-dx] at output 2i'+dz; verified
-    numerically)."""
+    numerically). ``want_stats``: also return the next GroupNorm's
+    per-lane (B, 2, 128) (sum, sumsq). The interleave preserves lanes,
+    so the stats are the sum of each part's f32 per-lane stats — reduced
+    in the same fusion as the matmuls, no extra pass over the output."""
     h2, u, c2 = meta
     b, d2, rows2, _ = xp.shape
     c = w.shape[-1]
@@ -864,20 +918,28 @@ def up2x_packed(xp, w, bias, meta):
     wu = jnp.einsum("xij,zyxab->zyjaib", dmap, wflip).reshape(
         2, 2, LANES, LANES
     ).astype(jnp.bfloat16)
+    blane = _bias_lane(bias, c)
     parts = [[None, None], [None, None]]
+    s1 = s2 = 0.0
     for dz in (0, 1):
         for dy in (0, 1):
             y = jax.lax.dot_general(
                 xp, wu[dz, dy], (((3,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            ) + blane
+            if want_stats:
+                s1 = s1 + jnp.sum(y, axis=(1, 2))
+                s2 = s2 + jnp.sum(y * y, axis=(1, 2))
+            parts[dz][dy] = y.astype(jnp.bfloat16).reshape(
+                b, d2, h2, u, LANES
             )
-            parts[dz][dy] = y.reshape(b, d2, h2, u, LANES)
     rows_dy = [
         jnp.stack([parts[dz][0], parts[dz][1]], axis=3) for dz in (0, 1)
     ]                                           # (b, d2, h2, 2, u, 128)
     a = jnp.stack(rows_dy, axis=2)              # (b, d2, 2, h2, 2, u, 128)
     yp = a.reshape(b, 2 * d2, 2 * h2 * u, LANES)
-    yp = (yp + _bias_lane(bias, c)).astype(jnp.bfloat16)
+    if want_stats:
+        return yp, (2 * h2, u, c), jnp.stack([s1, s2], axis=1)
     return yp, (2 * h2, u, c)
 
 

@@ -198,18 +198,20 @@ def _gp_core_fused(model: VoxelUNet3d, p, x, axis: str):
         sc, sh = fold(packed_stats(xp), f"enc{i}_b_gn", i)
         if i < model.levels - 1:
             skips.append((xp, sc, sh, meta))
-            xp, meta = down2x_packed(
+            xp, meta, st = down2x_packed(
                 act_packed(xp, sc, sh),
                 p[f"down{i}"]["kernel"], p[f"down{i}"]["bias"], meta,
+                want_stats=True,
             )
-            sc, sh = fold(packed_stats(xp), f"down{i}_gn", i + 1)
+            sc, sh = fold(st, f"down{i}_gn", i + 1)
     for i in range(model.levels - 2, -1, -1):
         wi = widths[i]
-        up_p, meta = up2x_packed(
+        up_p, meta, st_u = up2x_packed(
             act_packed(xp, sc, sh),
             p[f"up{i}"]["kernel"], p[f"up{i}"]["bias"], meta,
+            want_stats=True,
         )
-        sc_u, sh_u = fold(packed_stats(up_p), f"up{i}_gn", i)
+        sc_u, sh_u = fold(st_u, f"up{i}_gn", i)
         skip_p, sc_s, sh_s, meta = skips[i]
         wk = p[f"dec{i}_a"]["kernel"]
         bias_a = p[f"dec{i}_a"]["bias"]
@@ -246,7 +248,7 @@ def _gp_apply(model: VoxelUNet3d, p, points, mask, axis: str, n: int,
     r = model.grid_size
     grid = voxelize(
         points, mask, r,
-        impl=getattr(model, "voxelize_impl", "scatter"),
+        impl=getattr(model, "voxelize_impl", "auto"),
         matmul_dtype=jnp.dtype(model.compute_dtype),
     )
     dl = r // n
