@@ -60,15 +60,19 @@ class ModelConfig:
     levels: int = 0
     # jax.checkpoint rematerialization of the U-Net core (enables 128^3)
     remat: bool = False
-    # voxelizer implementation for the voxel families: "scatter" or
-    # "matmul" (one-hot MXU contraction — ops/voxel.py)
-    voxelize_impl: str = "scatter"
+    # voxelizer implementation for the voxel families: "scatter",
+    # "matmul" (one-hot MXU contraction), or "auto" (measured crossover:
+    # matmul 2.65x faster at R<=64, scatter wins at R128 — ops/voxel.py)
+    voxelize_impl: str = "auto"
     # sparse_voxelnet: submanifold conv blocks / static active-site
-    # capacity per event / kernel implementation ("dense" masked conv is
-    # ~2.2x faster than "gather" rulebook on TPU — BASELINE.md)
+    # capacity per event / kernel implementation. "block" (dense conv on
+    # occupied 8^3 tiles) is 2.4-3.2x faster than "dense" masked conv at
+    # LArTPC occupancies and overflow is surfaced + soak-verified
+    # (BASELINE.md r3); "dense" has no capacity caps, "gather" is the
+    # classic rulebook (serializes on TPU).
     depth: int = 4
     max_active: int = 8192
-    impl: str = "dense"
+    impl: str = "block"
     # block impl (sparse_voxelnet impl="block"): occupied-tile capacity
     # per event and tile edge (ops/block_sparse.py)
     max_tiles: int = 128

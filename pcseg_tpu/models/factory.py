@@ -50,5 +50,6 @@ def build_model(cfg: ModelConfig, num_classes: int):
             tile=cfg.tile,
             levels=cfg.levels or 1,
             compute_dtype=cfg.compute_dtype,
+            voxelize_impl=cfg.voxelize_impl,
         )
     raise ValueError(f"unknown model family {cfg.name!r}; options: {FAMILIES}")

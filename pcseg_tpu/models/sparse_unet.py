@@ -43,10 +43,11 @@ class SparseVoxelNet:
     compute_dtype: str = "float32"
     # "block": dense conv on occupied 8^3 tiles (ops/block_sparse.py) —
     # fastest at LArTPC occupancies (2.7 ms vs 7.0 masked-dense vs 29.9
-    # gather fwd at R64/C64, BASELINE.md r2). "dense": submanifold
-    # semantics via occupancy-masked dense conv3d. "gather": the classic
-    # rulebook gather formulation (per-row gathers serialize on TPU).
-    impl: str = "dense"
+    # gather fwd at R64/C64, BASELINE.md r2; default since r3 after the
+    # overflow-surfaced soak). "dense": submanifold semantics via
+    # occupancy-masked dense conv3d, no capacity caps. "gather": the
+    # classic rulebook gather formulation (per-row gathers serialize).
+    impl: str = "block"
     # block impl: static per-event occupied-tile capacity and tile edge
     max_tiles: int = 128
     tile: int = 8
@@ -55,6 +56,9 @@ class SparseVoxelNet:
     # with skip connections back up — a sparse U-Net where every
     # resolution only carries occupied voxels.
     levels: int = 1
+    # voxelizer implementation (ops/voxel.py voxelize): "auto" picks the
+    # one-hot-matmul contraction below the measured R^3*(C+1) crossover
+    voxelize_impl: str = "auto"
     # duck-type compatibility knobs (unused)
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -115,7 +119,8 @@ class SparseVoxelNet:
         if mask is None:
             mask = jnp.ones(points.shape[:2], bool)
 
-        grid = voxelize(points, mask, self.grid_size)
+        grid = voxelize(points, mask, self.grid_size,
+                        impl=self.voxelize_impl, matmul_dtype=dt)
         if self.impl == "dense":
             logits = self._apply_dense(p, grid, points, mask, dt)
             # dense has no capacity caps — nothing can be dropped
@@ -162,7 +167,9 @@ class SparseVoxelNet:
             mask = jnp.ones(points.shape[:2], bool)
         if self.impl == "dense":
             return jnp.zeros(points.shape[0], jnp.int32)
-        grid = voxelize(points, mask, self.grid_size)
+        grid = voxelize(points, mask, self.grid_size,
+                        impl=self.voxelize_impl,
+                        matmul_dtype=jnp.dtype(self.compute_dtype))
         g0 = VoxelGrid(
             features=grid.features[..., :0],
             counts=grid.counts,

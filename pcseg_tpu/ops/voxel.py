@@ -178,10 +178,16 @@ def voxelize(
     is energy, pcs.py:34). Features scattered are the raw columns 3:
     plus a constant-1 occupancy channel; output C = F + 1.
 
-    ``impl``: "scatter" (XLA fused scatter-add; f32-exact) or "matmul"
+    ``impl``: "scatter" (XLA fused scatter-add; f32-exact), "matmul"
     (factorized one-hot MXU contraction — see ``_voxelize_matmul``;
     counts and means are exact up to feature rounding into
-    ``matmul_dtype``, pass jnp.float32 for bit-comparable features).
+    ``matmul_dtype``, pass jnp.float32 for bit-comparable features), or
+    "auto" (pick by the measured crossover: the scatter serializes at
+    ~60 ns/point on TPU while the matmul costs ~2*R^3*(C+1) MXU
+    FLOPs/point, so the one-hot contraction wins whenever
+    R^3*(C+1) is small enough — 4.11 -> 1.55 ms at B8 x 8192 x R64/C6,
+    but 0.94 -> 1.23 ms at B1 x 16384 x R128 where the R^3 term
+    dominates; experiments/bench_voxelize.py 2026-08-17).
     """
     coords = points[..., :3].astype(jnp.float32)
     feats = points[..., 3:].astype(jnp.float32)
@@ -195,6 +201,10 @@ def voxelize(
     flat, lo, scale = voxel_indices(coords, mask, grid_size)
     feats = jnp.where(mask[..., None], feats, 0.0)
 
+    if impl == "auto":
+        # crossover at 2*R^3*(C+1)/peak_flops ~= 60 ns serialized
+        # scatter cost per point (~120 TFLOP/s effective bf16)
+        impl = "matmul" if r3 * c <= 4_000_000 else "scatter"
     if impl == "matmul":
         sums, cnts = _voxelize_matmul(flat, feats, grid_size, matmul_dtype)
         sums = sums.reshape(sums.shape[0], r3, c)

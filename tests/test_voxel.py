@@ -215,6 +215,26 @@ def test_voxelize_matmul_matches_scatter(rng):
     )
 
 
+def test_voxelize_auto_dispatch(rng):
+    """impl='auto' picks matmul below the R^3*(C+1) crossover and
+    scatter above it; both must agree with the explicit impls."""
+    import pcseg_tpu.ops.voxel as vox
+
+    points, masks = _batch(rng, b=2, m=64, pad=16)
+    # R=8, C=2: tiny grid -> matmul branch (bf16 default dtype)
+    g_auto = vox.voxelize(points, masks, 8, impl="auto")
+    g_mm = vox.voxelize(points, masks, 8, impl="matmul")
+    np.testing.assert_array_equal(
+        np.asarray(g_auto.features), np.asarray(g_mm.features)
+    )
+    # R=128, C=2: 128^3*3 > 4e6 -> scatter branch (exact f32 sums)
+    g_auto = vox.voxelize(points, masks, 128, impl="auto")
+    g_sc = vox.voxelize(points, masks, 128, impl="scatter")
+    np.testing.assert_array_equal(
+        np.asarray(g_auto.features), np.asarray(g_sc.features)
+    )
+
+
 def test_voxelize_matmul_chunked_matches(monkeypatch):
     import pcseg_tpu.ops.voxel as vox
 
@@ -266,7 +286,8 @@ def test_voxel_unet_matmul_voxelizer_matches(small_events):
     logits through the whole model."""
     import dataclasses
 
-    m_sc = VoxelUNet3d(num_classes=4, grid_size=16, width=8)
+    m_sc = VoxelUNet3d(num_classes=4, grid_size=16, width=8,
+                       voxelize_impl="scatter")
     m_mm = dataclasses.replace(m_sc, voxelize_impl="matmul")
     variables = m_sc.init(jax.random.key(0))
     points, labels, masks = pad_events(small_events[:2], 512, 2)
