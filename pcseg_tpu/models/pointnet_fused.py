@@ -27,16 +27,16 @@ import jax.numpy as jnp
 
 from pcseg_tpu.ops.batchnorm import EPS, MOMENTUM
 from pcseg_tpu.ops.pallas.fused_block import fused_block
-from pcseg_tpu.ops.pallas.fused_pool import fused_global_pool
+from pcseg_tpu.ops.pallas.fused_global import fused_global_pool_block
 
-# chain order: (conv name, bn-of-INPUT name or None)
+# chain order: (conv name, bn-of-INPUT name or None); global_feat is
+# handled separately (fused with the max pool, ops/pallas/fused_global)
 _ENCODER_CHAIN = [
     ("conv1", None),           # raw points in
     ("conv2", "bn1"),
     ("conv3", "bn2"),
     ("conv4", "bn3"),
     ("conv5", "bn4"),
-    ("global_feat", "bn5"),
 ]
 
 
@@ -164,22 +164,35 @@ def _fused_chain(
             )
         update_running(
             {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
-             "conv4": "bn4", "conv5": "bn5", "global_feat": "bn_global"}[conv],
+             "conv4": "bn4", "conv5": "bn5"}[conv],
             s1, s2,
         )
         saved[conv] = (h, stats)
         h, stats = y, (s1, s2)
 
-    # --- global pool: ONE fused normalize+relu+segment-max kernel over the
-    # bf16 activations (pcs.py:114; includes padding). The XLA formulation
-    # materialized (N, 1024) f32 tensors in fwd AND bwd (~2.5 GB/step of
-    # HBM traffic at B64xM2048) — the fused op's VJP is closed-form on
-    # (B, 1024) arrays plus one write-only scatter (ops/pallas/fused_pool).
-    mu_g, inv_g, _ = _stats_to_norm(*stats, nf)
-    g = fused_global_pool(
-        h, mu_g, inv_g,
-        params["bn_global"]["scale"], params["bn_global"]["bias"], m_,
-    )                                                    # (B, 1024)
+    # --- global layer + global max pool, ONE kernel (pcs.py:113-114).
+    # The r2 two-op form (fused_block + fused_global_pool) still moved
+    # the (N, 1024) global activation through HBM three extra times; the
+    # fused op pools sign(gamma)*y in the layer kernel itself (BN+ReLU
+    # is per-channel monotone) and only the (B, 1024) winners are
+    # normalized here, in differentiable glue (ops/pallas/fused_global).
+    mu5, inv5, _ = _stats_to_norm(*stats, nf)
+    gam_g = params["bn_global"]["scale"]
+    bet_g = params["bn_global"]["bias"]
+    sign_g = jax.lax.stop_gradient(jnp.sign(gam_g))
+    s1_g, s2_g, best, _idx = fused_global_pool_block(
+        h, mu5, inv5, params["bn5"]["scale"], params["bn5"]["bias"],
+        params["global_feat"]["kernel"].astype(weight_dtype),
+        params["global_feat"]["bias"], sign_g,
+        m_, _pick_tile(n, m_, 1024, 1024), act_dtype,
+    )
+    update_running("bn_global", s1_g, s2_g)
+    mu_g, inv_g, _ = _stats_to_norm(s1_g, s2_g, nf)
+    y_best = sign_g * best                               # raw y at winner
+    z_best = jnp.where(
+        gam_g == 0.0, bet_g, (y_best - mu_g) * inv_g * gam_g + bet_g
+    )
+    g = jnp.maximum(z_best, 0.0)                         # (B, 1024)
 
     # --- head; seg1 via the split-matmul trick
     w_seg1 = params["seg_conv1"]["kernel"]               # (1088, 512)

@@ -45,6 +45,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 512
 
+# Tuning knobs (trace-time; fwd and bwd kernels read the same values so
+# regenerated dropout masks stay consistent):
+# - NUM_HALVES: how many independent sub-tiles each row tile splits into
+#   for VPU/MXU overlap (None = 2 when even, else 1).
+# - DROP_BITS: PRNG width per dropout decision. 32 draws one uint32 per
+#   element; 16 draws HALF the random words ((t/2, c) uint32 bitcast to
+#   (t, c) uint16) for the same Bernoulli rate to 1.5e-5 absolute — the
+#   mask distribution is what the reference specifies (pcs.py:96), not
+#   the bit width behind it.
+NUM_HALVES: Optional[int] = None
+DROP_BITS: int = 32
+
+
+def _num_halves(tile_rows: int) -> int:
+    nh = NUM_HALVES if NUM_HALVES is not None else 2
+    while nh > 1 and tile_rows % nh != 0:
+        nh //= 2
+    return max(1, nh)
+
+
+def _drop_keep(shape, drop_threshold):
+    """Bernoulli keep-mask from the hardware PRNG; see DROP_BITS."""
+    t, c = shape
+    if DROP_BITS == 16 and t % 2 == 0:
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((t // 2, c)), jnp.uint16
+        )
+        return bits >= jnp.uint16((drop_threshold >> 16))
+    if DROP_BITS == 8 and t % 4 == 0:
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((t // 4, c)), jnp.uint8
+        )
+        return bits >= jnp.uint8((drop_threshold >> 24))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= jnp.uint32(drop_threshold)
+
 
 def _prologue(x, mu, inv, gamma, beta, relu, drop_threshold, drop_scale):
     """normalize -> affine -> relu -> dropout, in f32, returns bf16."""
@@ -55,8 +91,7 @@ def _prologue(x, mu, inv, gamma, beta, relu, drop_threshold, drop_scale):
     if relu:
         z = jnp.maximum(z, 0.0)
     if drop_threshold is not None:
-        bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
-        keep = bits >= jnp.uint32(drop_threshold)
+        keep = _drop_keep(z.shape, drop_threshold)
         z = jnp.where(keep, z * drop_scale, 0.0)
     return z
 
@@ -110,7 +145,7 @@ def _fwd_kernel(
     # (An MXU-ones-colsum epilogue measured neutral — the fix is
     # overlap, not fewer VPU ops.)
     tile_rows = x_ref.shape[0]
-    nh = 2 if tile_rows % 2 == 0 else 1
+    nh = _num_halves(tile_rows)
     t = tile_rows // nh
     for h in range(nh):
         a = _prologue(
@@ -282,7 +317,7 @@ def _bwd_kernel(
     # mask regeneration consumes the PRNG stream in the forward's
     # half0-then-half1 draw order.
     tile_rows = x_ref.shape[0]
-    nh = 2 if tile_rows % 2 == 0 else 1
+    nh = _num_halves(tile_rows)
     t = tile_rows // nh
     for h in range(nh):
         sl = slice(h * t, (h + 1) * t)
@@ -309,8 +344,7 @@ def _bwd_kernel(
             zr = z
             relu_mask = None
         if drop_threshold is not None:
-            bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
-            keep = bits >= jnp.uint32(drop_threshold)
+            keep = _drop_keep(z.shape, drop_threshold)
             a = jnp.where(keep, zr * drop_scale, 0.0)
             drop_mask = jnp.where(keep, drop_scale, 0.0)
         else:
