@@ -84,7 +84,11 @@ def bench(name, tile, nh, drop_bits, norm_override=None, emit_override=None):
     )
 
     fb.NUM_HALVES = nh
-    fb.DROP_BITS = drop_bits
+    if drop_bits != 32:
+        raise ValueError(
+            "sub-32-bit dropout draws were rejected (Mosaic has no "
+            "sub-32-bit unsigned compare on this target)"
+        )
 
     def op(x):
         return fb.fused_block(
@@ -111,7 +115,6 @@ def bench(name, tile, nh, drop_bits, norm_override=None, emit_override=None):
     t_f = timed_scan(fwd_step, x0)
     t_fb = timed_scan(fb_step, x0)
     fb.NUM_HALVES = None
-    fb.DROP_BITS = 32
     return t_f, t_fb
 
 
@@ -146,7 +149,7 @@ def main():
             "seg2": ([512, 1024], [2]),
             "seg3": ([1024], [2]),
         }[name]
-        bits = [32, 16, 8] if drop > 0 else [32]
+        bits = [32]
         for tile in tiles:
             if rpb and rpb % tile != 0:
                 continue

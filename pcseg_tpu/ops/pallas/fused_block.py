@@ -45,17 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 512
 
-# Tuning knobs (trace-time; fwd and bwd kernels read the same values so
-# regenerated dropout masks stay consistent):
-# - NUM_HALVES: how many independent sub-tiles each row tile splits into
-#   for VPU/MXU overlap (None = 2 when even, else 1).
-# - DROP_BITS: PRNG width per dropout decision. 32 draws one uint32 per
-#   element; 16 draws HALF the random words ((t/2, c) uint32 bitcast to
-#   (t, c) uint16) for the same Bernoulli rate to 1.5e-5 absolute — the
-#   mask distribution is what the reference specifies (pcs.py:96), not
-#   the bit width behind it.
+# NUM_HALVES (trace-time sweep knob): how many independent sub-tiles each
+# row tile splits into for VPU/MXU overlap (None = 2 when even, else 1).
+# fwd and bwd kernels read the same value so regenerated dropout masks
+# stay consistent. Swept r3: 2 vs 4 is neutral on every layer.
 NUM_HALVES: Optional[int] = None
-DROP_BITS: int = 32
 
 
 def _num_halves(tile_rows: int) -> int:
@@ -66,18 +60,11 @@ def _num_halves(tile_rows: int) -> int:
 
 
 def _drop_keep(shape, drop_threshold):
-    """Bernoulli keep-mask from the hardware PRNG; see DROP_BITS."""
-    t, c = shape
-    if DROP_BITS == 16 and t % 2 == 0:
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((t // 2, c)), jnp.uint16
-        )
-        return bits >= jnp.uint16((drop_threshold >> 16))
-    if DROP_BITS == 8 and t % 4 == 0:
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((t // 4, c)), jnp.uint8
-        )
-        return bits >= jnp.uint8((drop_threshold >> 24))
+    """Bernoulli keep-mask from the hardware PRNG, one uint32 draw per
+    element. Rejected r3 experiment: halving the draw width (bitcast to
+    uint16/uint8 thresholds) fails to compile — Mosaic on this target
+    supports no sub-32-bit unsigned compares — and seg3 vs seg2 timings
+    bound the whole PRNG cost at ~0.1 ms/step anyway."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits >= jnp.uint32(drop_threshold)
 
