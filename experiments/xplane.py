@@ -115,17 +115,27 @@ def latest_trace(logdir):
     return max(paths, key=os.path.getmtime)
 
 
-def device_summary(path, plane_substr="TPU"):
+def device_summary(path, plane_substr="TPU", line_substr="XLA Ops"):
     """Aggregate device-plane event durations by kernel name.
 
-    Returns [(name, total_ms, count)] sorted by total, all lines of the
-    first plane whose name contains `plane_substr`.
+    Returns [(name, total_ms, count)] sorted by total. Only lines whose
+    name contains `line_substr` count — the serial 'XLA Ops' timeline by
+    default ('Async XLA Ops' spans overlap each other and the compute,
+    so summing them wildly overstates; pass line_substr='Async' to see
+    them).
     """
     for name, lines, emeta in parse_xspace(path):
         if plane_substr not in name:
             continue
         agg = defaultdict(lambda: [0, 0])
         for lname, events in lines:
+            # exact match first ('XLA Ops' is a substring of 'Async XLA
+            # Ops'); substring only when nothing matches exactly
+            if lname != line_substr and not (
+                line_substr not in [l for l, _ in lines] and
+                line_substr in lname
+            ):
+                continue
             for md, dur in events:
                 a = agg[emeta.get(md, f"#{md}")]
                 a[0] += dur
@@ -137,12 +147,12 @@ def device_summary(path, plane_substr="TPU"):
     raise ValueError(f"no plane matching {plane_substr!r} in {path}")
 
 
-def print_summary(path, plane_substr="TPU", top=40):
-    rows = device_summary(path, plane_substr)
+def print_summary(path, plane_substr="TPU", top=40, line_substr="XLA Ops"):
+    rows = device_summary(path, plane_substr, line_substr)
     total = sum(ms for _, ms, _ in rows)
     print(f"device total {total:9.3f} ms   ({path})")
     for name, ms, n in rows[:top]:
-        print(f"{ms:9.3f} ms {n:5d}x  {name[:100]}")
+        print(f"{ms:9.3f} ms {n:5d}x  {name[:110]}")
 
 
 if __name__ == "__main__":

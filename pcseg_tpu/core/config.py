@@ -64,6 +64,9 @@ class ModelConfig:
     # "matmul" (one-hot MXU contraction), or "auto" (measured crossover:
     # matmul 2.65x faster at R<=64, scatter wins at R128 — ops/voxel.py)
     voxelize_impl: str = "auto"
+    # devoxelize forward for voxel_unet3d: "gather", "matmul" (mirrored
+    # one-hot contraction), or "auto" (same crossover — ops/voxel.py)
+    devox_impl: str = "auto"
     # sparse_voxelnet: submanifold conv blocks / static active-site
     # capacity per event / kernel implementation. "block" (dense conv on
     # occupied 8^3 tiles) is 2.4-3.2x faster than "dense" masked conv at

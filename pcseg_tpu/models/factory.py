@@ -36,6 +36,7 @@ def build_model(cfg: ModelConfig, num_classes: int):
             compute_dtype=cfg.compute_dtype,
             conv_impl=(cfg.impl if cfg.impl in ("fused", "xla") else "auto"),
             voxelize_impl=cfg.voxelize_impl,
+            devox_impl=cfg.devox_impl,
         )
     if cfg.name == "sparse_voxelnet":
         return SparseVoxelNet(

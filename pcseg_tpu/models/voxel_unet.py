@@ -59,6 +59,11 @@ class VoxelUNet3d:
     # one-hot MXU contraction, ops/voxel.py _voxelize_matmul; feature
     # precision follows compute_dtype), or "auto" (measured crossover)
     voxelize_impl: str = "auto"
+    # devoxelize forward: "gather" (8-tap row gathers; f32-exact),
+    # "matmul" (mirrored one-hot contraction — the gathers serialize at
+    # ~4.1 ms/step at B8 x 8192/R64, the contraction is MXU work), or
+    # "auto" (same crossover rule as the voxelizer)
+    devox_impl: str = "auto"
     # unused knobs kept for duck-type compatibility with PointNetSeg
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -147,7 +152,8 @@ class VoxelUNet3d:
         # (bf16 models take the fast bf16 contraction; f32 models get
         # full-precision grid gradients — ADVICE r2)
         logits = devoxelize_trilinear(
-            voxel_logits, points, mask, grid.lo, grid.scale, bwd_dtype=dt
+            voxel_logits, points, mask, grid.lo, grid.scale, bwd_dtype=dt,
+            impl=self.devox_impl,
         )
         if train:
             return logits, {}

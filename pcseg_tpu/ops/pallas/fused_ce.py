@@ -55,6 +55,44 @@ def _logits_tile(a, w_ref, b_ref, lane_valid):
     return jnp.where(lane_valid, y, NEG)
 
 
+def _colsum(v, exact=True):
+    """Per-row lane sum as an MXU dot: (t, LANES) -> (t, 8)[:, :1].
+
+    A VPU lane reduction is ~log2(128)=7 full-width shuffle passes; the
+    profiler showed five of them made this kernel ~10x its HBM+MXU floor
+    (experiments/profile_steps.py, r3). One (t,128)@(128,8) dot is MXU
+    noise instead.
+
+    Mosaic's default (and only supported) MXU pass rounds f32 operands
+    to bf16, which broke the ``tl == mx`` argmax equality and cost ~3
+    decimal digits of the loss. ``exact=True`` therefore splits the
+    operand bf16-hi/lo and sums two dots (~16 mantissa bits; both halves
+    are exactly representable, so each dot is exact). Pass exact=False
+    for integer-valued summands <= 2^8 (one-hot counts), which a single
+    bf16 pass already represents exactly."""
+    ones = jnp.ones((LANES, 8), jnp.float32)
+
+    def dot(a):
+        return jax.lax.dot_general(
+            a, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if not exact:
+        return dot(v)[:, :1]
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    return (dot(hi) + dot(v - hi))[:, :1]
+
+
+def _strict_lower():
+    """TRI[c, j] = 1.0 iff c < j — dot(att, TRI)[r, j] counts attaining
+    lanes strictly before lane j (the torch first-lane argmax tie rule,
+    moved onto the MXU)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    return (r < cc).astype(jnp.float32)
+
+
 def _fwd_kernel(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref, w_ref, b_ref,
                 lab_ref, cw_ref, acc_ref, *, num_classes: int):
     @pl.when(pl.program_id(0) == 0)
@@ -67,6 +105,7 @@ def _fwd_kernel(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref, w_ref, b_ref,
     nh = 2 if tile % 2 == 0 else 1
     t = tile // nh
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    tri = _strict_lower()
     for h in range(nh):
         sl = slice(h * t, (h + 1) * t)
         lane = jax.lax.broadcasted_iota(jnp.int32, (t, LANES), 1)
@@ -81,20 +120,34 @@ def _fwd_kernel(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref, w_ref, b_ref,
         lab = lab_ref[sl]                              # (t, 1) int32
         valid = (lab >= 0).astype(jnp.float32)         # (t, 1)
         onehot = (lab == lane).astype(jnp.float32)     # (t, LANES)
-        wrow = jnp.sum(onehot * cw_ref[0], axis=-1, keepdims=True) * valid
 
+        # the ONLY remaining VPU lane reduction: the row max (needed for
+        # exp stability AND argmax); everything else rides _colsum dots
         mx = jnp.max(logits, axis=-1, keepdims=True)
-        se = jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True)
+        ex = jnp.exp(logits - mx)                      # invalid lanes -> 0
+        att = (logits >= mx).astype(jnp.float32)       # lanes at the max
+
+        se = _colsum(ex)
+        true_logit = _colsum(onehot * logits)
+        wrow = _colsum(onehot * cw_ref[0]) * valid
+        # argmax == label iff the label lane attains the max AND no lane
+        # strictly before it does (torch first-lane tie rule). Both sums
+        # are small integers — exact in the fast bf16 MXU pass.
+        att_lab = _colsum(onehot * att, exact=False)
+        nbefore = jax.lax.dot_general(
+            att, tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        before_lab = _colsum(onehot * nbefore, exact=False)
+
         lse = jnp.log(se) + mx
-        true_logit = jnp.sum(onehot * logits, axis=-1, keepdims=True)
         num_t = jnp.sum(wrow * (lse - true_logit))
         den_t = jnp.sum(wrow)
-
-        # argmax = first lane attaining the max (torch argmax tie rule)
-        amax = jnp.min(
-            jnp.where(logits >= mx, lane, LANES), axis=-1, keepdims=True
+        correct_t = jnp.sum(
+            valid
+            * (att_lab > 0.5).astype(jnp.float32)
+            * (before_lab == 0.0).astype(jnp.float32)
         )
-        correct_t = jnp.sum(valid * (amax == lab).astype(jnp.float32))
 
         acc_ref[:] += (
             jnp.where(out_lane == 0, num_t, 0.0)
@@ -131,11 +184,11 @@ def _bwd_kernel(x_ref, mu_ref, inv_ref, gamma_ref, beta_ref, w_ref, b_ref,
         lab = lab_ref[sl]
         valid = (lab >= 0).astype(jnp.float32)
         onehot = (lab == lane).astype(jnp.float32)
-        wrow = jnp.sum(onehot * cw_ref[0], axis=-1, keepdims=True) * valid
+        wrow = _colsum(onehot * cw_ref[0]) * valid
 
         mx = jnp.max(logits, axis=-1, keepdims=True)
         ex = jnp.exp(logits - mx)
-        p = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        p = ex / _colsum(ex)
         # padded lanes: p ~ 0 and onehot = 0 -> dlogits 0 there
         dlogits = (ct_ref[0] * wrow) * (p - onehot)
 

@@ -283,6 +283,62 @@ def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
     return jnp.where(mask[..., None], out, 0.0)
 
 
+def _devox_fwd_contract(u, grid2, r, c, dt):
+    """One point-chunk's trilinear gather as matmuls: (B, Mc, C).
+
+    Stage 1 contracts the (z, y) plane pair on the MXU
+    ((B, Mc, R^2) @ (B, R^2, R*C)); stage 2 is the 2-tap x interpolation
+    as an elementwise multiply + small reduce. Same factorization as the
+    backward (``_devox_contract``), run forward."""
+    b = u.shape[0]
+    wz = _axis_weights(u[..., 0], r).astype(dt)             # (B, Mc, R)
+    wy = _axis_weights(u[..., 1], r).astype(dt)
+    wx = _axis_weights(u[..., 2], r)                        # f32 stage 2
+    a = (wz[..., :, None] * wy[..., None, :]).reshape(b, -1, r * r)
+    t = jax.lax.dot_general(
+        a, grid2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                       # (B, Mc, R*C)
+    t = t.reshape(b, -1, r, c)
+    return jnp.sum(t * wx[..., None], axis=2)
+
+
+def _devoxelize_trilinear_matmul(grid_feats, points, mask, lo, scale, dt):
+    """Forward trilinear devoxelize as one-hot MXU contractions.
+
+    The gather composition runs 8 per-tap row gathers that serialize on
+    TPU (~4.1 ms of the 64^3 train step at B8 x 8192 — the single
+    largest non-conv cost in the r3 profile, experiments/
+    profile_steps.py). This replaces them with the same factorized
+    contraction the backward already uses, chunked over points so the
+    (B, Mc, R^2) operand stays under the budget. ``dt`` is the operand
+    precision (f32 accumulation); the value matches the gather path to
+    ``dt`` rounding."""
+    b, r = grid_feats.shape[0], grid_feats.shape[1]
+    c = grid_feats.shape[-1]
+    m = points.shape[1]
+    u = _trilinear_u(points, mask, lo, scale)
+    grid2 = grid_feats.reshape(b, r * r, r * c).astype(dt)
+
+    budget = _DEVOX_BWD_BUDGET_BYTES
+    row_bytes = b * r * r * jnp.dtype(dt).itemsize
+    chunk = max(1, min(m, budget // max(row_bytes, 1)))
+    if chunk >= m:
+        out = _devox_fwd_contract(u, grid2, r, c, dt)
+    else:
+        nchunks = -(-m // chunk)
+        pad = nchunks * chunk - m
+        u_p = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+        u_s = u_p.reshape(b, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+
+        def body(_, uc):
+            return None, _devox_fwd_contract(uc, grid2, r, c, dt)
+
+        _, chunks = jax.lax.scan(body, None, u_s)           # (n, B, Mc, C)
+        out = chunks.transpose(1, 0, 2, 3).reshape(b, -1, c)[:, :m]
+    return jnp.where(mask[..., None], out, 0.0)
+
+
 def devoxelize_trilinear(
     grid_feats: jax.Array,
     points: jax.Array,
@@ -290,6 +346,7 @@ def devoxelize_trilinear(
     lo: jax.Array,
     scale: jax.Array,
     bwd_dtype=jnp.bfloat16,
+    impl: str = "gather",
 ) -> jax.Array:
     """Trilinear interpolation over the 8 voxel centers around each point.
 
@@ -309,18 +366,36 @@ def devoxelize_trilinear(
     gradients. The backward chunks the point axis so the one-hot
     operand never exceeds ~512 MB regardless of (B, M, R).
 
+    ``impl`` picks the FORWARD formulation: "gather" (8 per-tap row
+    gathers; f32-exact), "matmul" (``_devoxelize_trilinear_matmul`` —
+    the mirrored one-hot contraction, values match to ``bwd_dtype``
+    operand rounding), or "auto" (matmul below the same R^3*C crossover
+    as ``voxelize``, where the gathers' ~8 ns/row serialization loses to
+    the contraction's R^2*(R*C) MXU work). The backward is the same
+    contraction either way.
+
     NOTE: gradients flow to ``grid_feats`` only; ``points``/``lo``/
     ``scale`` get zero cotangents (they are data inputs in every
     training path — a point-coordinate-optimizing use would need the
     reference VJP of ``_devoxelize_trilinear_ref``).
     """
+    if impl == "auto":
+        r, c = grid_feats.shape[1], grid_feats.shape[-1]
+        impl = "matmul" if r ** 3 * (c + 1) <= 4_000_000 else "gather"
+    if impl not in ("gather", "matmul"):
+        raise ValueError(f"unknown devoxelize impl {impl!r}")
     return _devoxelize_trilinear_vjp(
-        grid_feats, points, mask, lo, scale, jnp.dtype(bwd_dtype)
+        grid_feats, points, mask, lo, scale, jnp.dtype(bwd_dtype), impl
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _devoxelize_trilinear_vjp(grid_feats, points, mask, lo, scale, bwd_dtype):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _devoxelize_trilinear_vjp(grid_feats, points, mask, lo, scale, bwd_dtype,
+                              impl):
+    if impl == "matmul":
+        return _devoxelize_trilinear_matmul(
+            grid_feats, points, mask, lo, scale, bwd_dtype
+        )
     return _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale)
 
 
@@ -336,8 +411,10 @@ def _axis_weights(u1, r):
             + frac[..., None] * (iota == t1))
 
 
-def _devox_fwd(grid_feats, points, mask, lo, scale, bwd_dtype):
-    out = _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale)
+def _devox_fwd(grid_feats, points, mask, lo, scale, bwd_dtype, impl):
+    out = _devoxelize_trilinear_vjp(
+        grid_feats, points, mask, lo, scale, bwd_dtype, impl
+    )
     # zero-size token carries the primal's shape/dtype (residuals must be
     # JAX types, not raw dtypes)
     token = jnp.zeros(grid_feats.shape[:1] + grid_feats.shape[1:2]
@@ -361,7 +438,7 @@ def _devox_contract(u, go, r, c, dt):
     )                                                       # (B, R*R, R*C)
 
 
-def _devox_bwd(bwd_dtype, res, go):
+def _devox_bwd(bwd_dtype, impl, res, go):
     points, mask, lo, scale, token, c = res
     b, r = token.shape[0], token.shape[1]
     gdtype = token.dtype

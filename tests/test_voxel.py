@@ -297,3 +297,59 @@ def test_voxel_unet_matmul_voxelizer_matches(small_events):
     np.testing.assert_allclose(
         np.asarray(l_mm), np.asarray(l_sc), atol=1e-4, rtol=1e-4
     )
+
+
+def test_devoxelize_matmul_forward_matches(monkeypatch):
+    """impl='matmul' (f32 operands) == the gather forward, incl. the
+    chunked path and gradients (shared backward)."""
+    from pcseg_tpu.ops import voxel as vox
+
+    rng = np.random.default_rng(13)
+    pts = jnp.asarray(rng.normal(size=(2, 50, 4)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 50)) < 0.9)
+    grid = vox.voxelize(pts, mask, 8)
+    g0 = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 5)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(2, 50, 5)), jnp.float32)
+
+    def run(impl):
+        def f(g):
+            y = vox.devoxelize_trilinear(
+                g, pts, mask, grid.lo, grid.scale,
+                bwd_dtype=jnp.float32, impl=impl,
+            )
+            return jnp.sum(y * t), y
+        return jax.value_and_grad(f, has_aux=True)(g0)
+
+    (v_g, y_g), d_g = run("gather")
+    (v_m, y_m), d_m = run("matmul")
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_g),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_g),
+                               atol=1e-5, rtol=1e-5)
+    # chunked forward (row_bytes = 2*64*4 = 512; chunk 7, 50 = 7*7+1)
+    monkeypatch.setattr(vox, "_DEVOX_BWD_BUDGET_BYTES", 512 * 7)
+    (v_c, y_c), d_c = run("matmul")
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_g),
+                               atol=1e-5, rtol=1e-5)
+    # auto resolves to matmul at R=8 and to gather at huge R^3*C
+    assert vox.devoxelize_trilinear(
+        g0, pts, mask, grid.lo, grid.scale, impl="auto"
+    ).shape == y_g.shape
+
+
+def test_voxel_unet_devox_matmul_matches(small_events):
+    """devox_impl='matmul' reproduces the gather path's logits through
+    the whole model (f32 compute keeps the contraction f32)."""
+    import dataclasses
+
+    m_g = VoxelUNet3d(num_classes=4, grid_size=16, width=8,
+                      devox_impl="gather")
+    m_m = dataclasses.replace(m_g, devox_impl="matmul")
+    variables = m_g.init(jax.random.key(0))
+    points, labels, masks = pad_events(small_events[:2], 512, 2)
+    pts, msk = jnp.asarray(points), jnp.asarray(masks)
+    l_g = m_g.apply(variables, pts, train=False, mask=msk)
+    l_m = m_m.apply(variables, pts, train=False, mask=msk)
+    np.testing.assert_allclose(
+        np.asarray(l_m), np.asarray(l_g), atol=1e-4, rtol=1e-4
+    )
