@@ -26,7 +26,13 @@ import time
 import numpy as np
 
 BATCH, POINTS, DIM, CLASSES = 64, 2048, 4, 4
-WARMUP, ITERS = 3, 20
+# ITERS amortizes the relay's FIXED final-sync latency (~40 ms host<->device
+# round trip for the closing value transfer; measured r3,
+# experiments/bench_dispatch_gap.py: enqueue-only 1.3 ms/step — the device,
+# not the host, paces the loop). At 20 iters that one-time cost inflated the
+# per-step number by ~2 ms; 100 iters bounds the artifact at ~0.4 ms while
+# still finishing in ~1 s on the real chip.
+WARMUP, ITERS = 3, 100
 # torch-CPU reference step throughput for this exact shape, measured on
 # this machine (2026-08-16, torch 2.x, 1 CPU core): 1221.5 points/sec.
 # Used by default so the bench fits the driver's time budget; run with

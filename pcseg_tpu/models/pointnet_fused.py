@@ -51,6 +51,15 @@ def _pick_tile(
     double-buffered tiles (x, dx, y, dy ~= 12 bytes/channel/row) plus the
     resident W/dW under the VMEM budget."""
     budget = 7 * 1024 * 1024  # swept: 7MB -> 19.4 ms, 5MB -> 20.0, 3MB -> 21.4
+    # Measured winners that beat the budget formula (bench_fused_variants,
+    # r3 device sweep): the seg2-shaped dropout block runs ~6% faster at a
+    # row tile of 1024 (f+b 1.510 vs 1.600 ms at B64xM2048) even though
+    # its backward slightly exceeds the 7MB heuristic; VMEM holds.
+    swept = {(512, 256): 1024}
+    t = swept.get((cin, cout))
+    if t and n % t == 0 and (rows_per_batch is None or
+                             rows_per_batch % t == 0):
+        return t
     per_row = max(1, (cin + cout) * 12)
     cap = max(64, budget // per_row)
     # big tiles matter for NARROW layers: their per-grid-step overhead

@@ -191,19 +191,32 @@ def _window_prep_fn(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate,
     return prep
 
 
+# Scoped-VMEM ceiling granted to the conv kernels. Mosaic's default limit
+# (~16M) pinned rows=2048 (128^3 at w16) to kd=1 — 3x slab re-reads; the
+# v5e core has 128 MiB of VMEM, and raising the grant lets the big-rows
+# rungs take kd>=2 while leaving pipelining headroom (r3 sweep:
+# experiments/bench_kd_vmem.py).
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
+
 def _pick_kd(d: int, rows: int, has_accum: bool = False) -> int:
-    """Depth-window size: amortize halo reads, bounded by the 16M scoped
-    VMEM limit. Cost ~ a*(kd*rows) + b*rows (window/output blocks plus
-    per-slab halos and f32 prologue transients), so the ladder is by
-    rows, pinned to measured-safe points: rows<=512 kd=8 compiled at
-    13.2M; rows=2048 kd=2 OOMed at 21.8M (kd=1 fits); rows=1024 kd=2
-    uses strictly less than the proven rows=2048/kd=1 case."""
+    """Depth-window size: amortize halo reads, bounded by VMEM. Cost ~
+    a*(kd*rows) + b*rows (window/output blocks plus per-slab halos and
+    f32 prologue transients). Under the default ~16M scoped limit the
+    rows=2048 rung OOMed at kd=2 (21.8M); with the raised
+    `_VMEM_LIMIT_BYTES` grant the ladder below combines the per-rung
+    winners of the r3 device sweep (experiments/bench_kd_vmem.py:
+    128^3/w16 U-Net core f+b 32.6 -> 21.9 ms, 64^3 22.0 -> 20.6)."""
     if rows <= 512:
-        kd = 4 if has_accum else 8
+        kd = 16 if has_accum else 32
     elif rows <= 1024:
-        kd = 1 if has_accum else 2
+        kd = 8
     else:
-        kd = 1
+        kd = 4 if has_accum else 8
     while kd > 1 and d % kd:
         kd //= 2
     return kd
@@ -282,7 +295,7 @@ def _halo_specs(rows: int, kd: int, d: int):
 
 
 def _kernel(*refs, u: int, c: int, kd: int, activate: bool, want_stats: bool,
-            has_accum: bool):
+            has_accum: bool, stats_skip_edges: bool = False):
     it = iter(refs)
     xm_ref, x0_ref, xp_ref = next(it), next(it), next(it)
     scale_ref, shift_ref = next(it), next(it)
@@ -317,9 +330,19 @@ def _kernel(*refs, u: int, c: int, kd: int, activate: bool, want_stats: bool,
             acc = acc + accum_ref[0, k].astype(jnp.float32)
         y_ref[0, k] = acc.astype(y_ref.dtype)
         if want_stats:
-            s_acc[k % 2] = s_acc[k % 2] + jnp.stack(
+            contrib = jnp.stack(
                 [jnp.sum(acc, axis=0), jnp.sum(acc * acc, axis=0)]
             )
+            if stats_skip_edges:
+                # grid-parallel halo-concat slabs: the first/last output
+                # slab is dropped by the caller, so exclude it from the
+                # next layer's GroupNorm statistics
+                gd = pl.program_id(1) * kd + k
+                nd = pl.num_programs(1) * kd
+                contrib = contrib * jnp.where(
+                    (gd > 0) & (gd < nd - 1), 1.0, 0.0
+                )
+            s_acc[k % 2] = s_acc[k % 2] + contrib
 
     if want_stats:
         stats_ref[0] += s_acc[0] + s_acc[1]
@@ -328,6 +351,7 @@ def _kernel(*refs, u: int, c: int, kd: int, activate: bool, want_stats: bool,
 def _conv_pallas_meta(
     xp, wm, we, bias_lane, scale, shift, accum, meta,
     *, activate: bool, want_stats: bool, interpret,
+    stats_skip_edges: bool = False,
 ):
     b, d, rows, _ = xp.shape
     h, u, c = meta
@@ -380,12 +404,14 @@ def _conv_pallas_meta(
     return pl.pallas_call(
         functools.partial(_kernel, u=u, c=c, kd=kd, activate=activate,
                           want_stats=want_stats,
-                          has_accum=accum is not None),
+                          has_accum=accum is not None,
+                          stats_skip_edges=stats_skip_edges),
         grid=(b, d // kd),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
     )(*args)
 
 
@@ -475,6 +501,7 @@ def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
             jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
         ),
         interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
     )(gy, gy, gy, xp, scale[:, None], shift[:, None],
       wm_t.astype(jnp.bfloat16), we_t.astype(jnp.bfloat16))
     return dx, dstats
@@ -556,6 +583,7 @@ def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
             jax.ShapeDtypeStruct((1, LANES), jnp.float32, vma=vma),
         ),
         interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
     )(xp, xp, xp, gy, scale[:, None], shift[:, None])
     return dwm, dwe, dbias
 
@@ -582,29 +610,39 @@ def _unpack_wgrad(dwm, dwe, c):
 # ---------------------------------------------------------------------------
 
 def _run_fwd(xp, w, bias, scale, shift, accum, meta, activate, want_stats,
-             interpret):
+             interpret, stats_skip_edges=False):
     wm, we = pack_weights(w)
     bias_lane = jnp.tile(bias.astype(jnp.float32), LANES // bias.shape[0])
     return _conv_pallas_meta(
         xp, wm, we, bias_lane[None], scale, shift, accum, meta,
         activate=activate, want_stats=want_stats, interpret=interpret,
+        stats_skip_edges=stats_skip_edges,
     )
 
 
-def _run_bwd(res, gy, gstats, meta, activate, interpret):
+def _run_bwd(res, gy, gstats, meta, activate, interpret,
+             stats_skip_edges=False):
     """Shared backward. gstats=None when the op had no stats output.
 
     With stats, the cotangent entering the conv accumulator is
     g' = gy + gs1 + 2*gs2*y  (per-lane broadcast of the sum/sumsq
     cotangents) — one fused elementwise pass on the packed bf16 arrays.
+    When the forward skipped the edge slabs' stats, the broadcast skips
+    them too (their only cotangent is the incoming gy, which the caller's
+    edge-drop slice already zeroed).
     """
     xp, w, scale, shift, yp = res
     c = meta[2]
     if gstats is not None:
         gs1 = gstats[:, 0][:, None, None, :]
         gs2 = gstats[:, 1][:, None, None, :]
-        gy = (gy.astype(jnp.float32) + gs1
-              + 2.0 * gs2 * yp.astype(jnp.float32))
+        adj = gs1 + 2.0 * gs2 * yp.astype(jnp.float32)
+        if stats_skip_edges:
+            d = yp.shape[1]
+            di = jnp.arange(d)
+            dmask = ((di > 0) & (di < d - 1)).astype(jnp.float32)
+            adj = adj * dmask[None, :, None, None]
+        gy = gy.astype(jnp.float32) + adj
     gy = gy.astype(jnp.bfloat16)
     wm_t, we_t = pack_weights(_transpose_flip(w))
     dx, dstats = _dgrad_pallas(
@@ -631,32 +669,36 @@ def _run_bwd(res, gy, gstats, meta, activate, interpret):
 # public packed ops
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_conv3x3_p(xp, w, bias, scale, shift, meta, activate=True,
-                    want_stats=True, interpret=None):
+                    want_stats=True, interpret=None,
+                    stats_skip_edges=False):
     """Packed fused block: relu(xp*scale+shift) -> 3^3 conv -> +bias.
 
     xp: (B, D, rows, 128) bf16 packed grid (see pack_grid); meta=(h,u,c).
     Returns bf16 yp, plus — when ``want_stats`` — a (B, 2, 128) f32 of
     per-lane (sum, sumsq) of the output, accumulated in-kernel for the
     next layer's GroupNorm (see stats_scale_shift).
+    ``stats_skip_edges`` excludes the first/last d slab from the stats —
+    for grid-parallel halo-concat callers that drop the edge outputs.
     """
     out = _run_fwd(xp, w, bias, scale, shift, None, meta, activate,
-                   want_stats, interpret)
+                   want_stats, interpret, stats_skip_edges)
     return out
 
 
-def _p_fwd(xp, w, bias, scale, shift, meta, activate, want_stats, interpret):
+def _p_fwd(xp, w, bias, scale, shift, meta, activate, want_stats, interpret,
+           stats_skip_edges):
     out = _run_fwd(xp, w, bias, scale, shift, None, meta, activate,
-                   want_stats, interpret)
+                   want_stats, interpret, stats_skip_edges)
     yp = out[0] if want_stats else out
     return out, (xp, w, scale, shift, yp if want_stats else None)
 
 
-def _p_bwd(meta, activate, want_stats, interpret, res, g):
+def _p_bwd(meta, activate, want_stats, interpret, stats_skip_edges, res, g):
     gy, gstats = g if want_stats else (g, None)
     dx, dw, dbias, dscale, dshift, _ = _run_bwd(
-        res, gy, gstats, meta, activate, interpret
+        res, gy, gstats, meta, activate, interpret, stats_skip_edges
     )
     return dx, dw, dbias, dscale, dshift
 
@@ -664,29 +706,33 @@ def _p_bwd(meta, activate, want_stats, interpret, res, g):
 fused_conv3x3_p.defvjp(_p_fwd, _p_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_conv3x3_add_p(xp, accum, w, bias, scale, shift, meta,
-                        activate=True, interpret=None):
+                        activate=True, interpret=None,
+                        stats_skip_edges=False):
     """Like fused_conv3x3_p, plus a packed bf16 ``accum`` added to the
     conv output before the bias'd result is written / statted. Used for
     the decoder's concat-free skip merge: conv([a,b],W) ==
     conv(a, W[:, :w]) + conv(b, W[:, w:]) with the add and the next GN's
     stats fused into the second conv's kernel. Always returns stats.
+    ``stats_skip_edges`` as in fused_conv3x3_p (the grid-parallel caller
+    passes an extended accum whose edge slabs are dropped downstream).
     """
     return _run_fwd(xp, w, bias, scale, shift, accum, meta, activate,
-                    True, interpret)
+                    True, interpret, stats_skip_edges)
 
 
-def _pa_fwd(xp, accum, w, bias, scale, shift, meta, activate, interpret):
+def _pa_fwd(xp, accum, w, bias, scale, shift, meta, activate, interpret,
+            stats_skip_edges):
     yp, stats = _run_fwd(xp, w, bias, scale, shift, accum, meta, activate,
-                         True, interpret)
+                         True, interpret, stats_skip_edges)
     return (yp, stats), (xp, w, scale, shift, yp)
 
 
-def _pa_bwd(meta, activate, interpret, res, g):
+def _pa_bwd(meta, activate, interpret, stats_skip_edges, res, g):
     gy, gstats = g
     dx, dw, dbias, dscale, dshift, gacc = _run_bwd(
-        res, gy, gstats, meta, activate, interpret
+        res, gy, gstats, meta, activate, interpret, stats_skip_edges
     )
     return dx, gacc, dw, dbias, dscale, dshift
 

@@ -134,17 +134,20 @@ def _gp_core_fused(model: VoxelUNet3d, p, x, axis: str):
     conv wrapped in a packed halo-concat (one ppermuted slab per
     neighbor; SAME conv on the extended slab; edge outputs dropped), and
     (b) GroupNorm lane-stat sums psum'd over the shards. The stride-2
-    down/up matmuls and the head stay depth-local. Decoder skip-merge is
-    two half-kernel convs + an XLA add (the add-fused variant's in-kernel
-    stats would cover the discarded edge slabs).
+    down/up matmuls and the head stay depth-local. Stats come from the
+    conv kernels' epilogues with ``stats_skip_edges`` masking out the
+    dropped halo slabs (r3 — previously each conv took a separate
+    packed_stats HBM pass over its output). Decoder skip-merge is the
+    same concat-free add-fused kernel as the unsharded core, run on the
+    extended slabs with the edge outputs dropped after.
     """
     from pcseg_tpu.ops.pallas.conv3d_block import (
         act_packed,
         down2x_packed,
+        fused_conv3x3_add_p,
         fused_conv3x3_p,
         head1x1_packed,
         pack_grid,
-        packed_stats,
         stats_scale_shift,
         up2x_packed,
     )
@@ -164,17 +167,23 @@ def _gp_core_fused(model: VoxelUNet3d, p, x, axis: str):
             st, gn["scale"], gn["bias"], groups, rs[lv] ** 3
         )
 
-    def conv_halo(xp, kernel, bias, sc, sh, meta, activate=True):
+    def conv_ext(xp, sc, sh, activate=True):
         # activate BEFORE the exchange: the volume-edge halos are zeros,
         # and the unsharded kernel's boundary semantics are
         # post-activation zeros (relu(0*scale + shift) is not 0) — so
-        # the kernel runs prologue-free on pre-activated slabs here
+        # the kernels run prologue-free on pre-activated slabs here
         a = act_packed(xp, sc, sh) if activate else xp
         lo, hi = _halo_exchange(a, axis)
-        ext = jnp.concatenate([lo, a, hi], axis=1)
-        y = fused_conv3x3_p(ext, kernel, bias, zeros, zeros, meta, False,
-                            False)
-        return y[:, 1:-1]
+        return jnp.concatenate([lo, a, hi], axis=1)
+
+    def conv_halo(xp, kernel, bias, sc, sh, meta, activate=True,
+                  want_stats=True):
+        ext = conv_ext(xp, sc, sh, activate)
+        out = fused_conv3x3_p(ext, kernel, bias, zeros, zeros, meta, False,
+                              want_stats, None, want_stats)
+        if want_stats:
+            return out[0][:, 1:-1], out[1]
+        return out[:, 1:-1]
 
     cin = x.shape[-1]
     w0 = widths[0]
@@ -185,17 +194,17 @@ def _gp_core_fused(model: VoxelUNet3d, p, x, axis: str):
     kstem = jnp.zeros((3, 3, 3, w0, w0), jnp.float32)
     kstem = kstem.at[..., :cin, :].set(p["stem"]["kernel"])
     zeros = jnp.zeros((b, 128), jnp.float32)
-    xp = conv_halo(xp, kstem, p["stem"]["bias"], None, None, meta,
-                   activate=False)
-    sc, sh = fold(packed_stats(xp), "stem_gn", 0)
+    xp, st = conv_halo(xp, kstem, p["stem"]["bias"], None, None, meta,
+                       activate=False)
+    sc, sh = fold(st, "stem_gn", 0)
     skips = []
     for i in range(model.levels):
-        xp = conv_halo(xp, p[f"enc{i}_a"]["kernel"], p[f"enc{i}_a"]["bias"],
-                       sc, sh, meta)
-        sc, sh = fold(packed_stats(xp), f"enc{i}_a_gn", i)
-        xp = conv_halo(xp, p[f"enc{i}_b"]["kernel"], p[f"enc{i}_b"]["bias"],
-                       sc, sh, meta)
-        sc, sh = fold(packed_stats(xp), f"enc{i}_b_gn", i)
+        xp, st = conv_halo(xp, p[f"enc{i}_a"]["kernel"],
+                           p[f"enc{i}_a"]["bias"], sc, sh, meta)
+        sc, sh = fold(st, f"enc{i}_a_gn", i)
+        xp, st = conv_halo(xp, p[f"enc{i}_b"]["kernel"],
+                           p[f"enc{i}_b"]["bias"], sc, sh, meta)
+        sc, sh = fold(st, f"enc{i}_b_gn", i)
         if i < model.levels - 1:
             skips.append((xp, sc, sh, meta))
             xp, meta, st = down2x_packed(
@@ -215,14 +224,23 @@ def _gp_core_fused(model: VoxelUNet3d, p, x, axis: str):
         skip_p, sc_s, sh_s, meta = skips[i]
         wk = p[f"dec{i}_a"]["kernel"]
         bias_a = p[f"dec{i}_a"]["bias"]
-        y1 = conv_halo(up_p, wk[:, :, :, :wi], jnp.zeros_like(bias_a),
-                       sc_u, sh_u, meta)
-        y2 = conv_halo(skip_p, wk[:, :, :, wi:], bias_a, sc_s, sh_s, meta)
-        xp = (y1.astype(jnp.float32) + y2.astype(jnp.float32)).astype(dt)
-        sc, sh = fold(packed_stats(xp), f"dec{i}_a_gn", i)
-        xp = conv_halo(xp, p[f"dec{i}_b"]["kernel"], p[f"dec{i}_b"]["bias"],
-                       sc, sh, meta)
-        sc, sh = fold(packed_stats(xp), f"dec{i}_b_gn", i)
+        # same concat-free skip merge as the unsharded core: the first
+        # half-kernel conv stays extended (its edge slabs are garbage but
+        # dropped below), the second adds it in-kernel and accumulates
+        # interior-only stats
+        y1e = fused_conv3x3_p(
+            conv_ext(up_p, sc_u, sh_u), wk[:, :, :, :wi],
+            jnp.zeros_like(bias_a), zeros, zeros, meta, False, False,
+        )
+        y2e, st = fused_conv3x3_add_p(
+            conv_ext(skip_p, sc_s, sh_s), y1e, wk[:, :, :, wi:], bias_a,
+            zeros, zeros, meta, False, None, True,
+        )
+        xp = y2e[:, 1:-1]
+        sc, sh = fold(st, f"dec{i}_a_gn", i)
+        xp, st = conv_halo(xp, p[f"dec{i}_b"]["kernel"],
+                           p[f"dec{i}_b"]["bias"], sc, sh, meta)
+        sc, sh = fold(st, f"dec{i}_b_gn", i)
     del nsh
     return head1x1_packed(
         act_packed(xp, sc, sh), p["head"]["kernel"], p["head"]["bias"],

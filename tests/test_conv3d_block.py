@@ -287,3 +287,64 @@ def test_packed_down_up_head_match_xla():
     np.testing.assert_allclose(
         np.asarray(got_h), np.asarray(want_h), atol=0.05, rtol=0.05
     )
+
+
+def test_stats_skip_edges():
+    """Grid-parallel stats contract: with ``stats_skip_edges`` the
+    in-kernel (sum, sumsq) excludes the first/last d slab (dropped by the
+    halo-concat caller), forward output is unchanged, and the stats
+    cotangent path masks the edge slabs symmetrically."""
+    from pcseg_tpu.ops.pallas.conv3d_block import (
+        fused_conv3x3_add_p,
+        fused_conv3x3_p,
+        packed_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 8, 4, 8, 16)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 16)) * 0.1, jnp.float32)
+    b = jnp.zeros((16,), jnp.float32)
+    from pcseg_tpu.ops.pallas.conv3d_block import pack_grid
+
+    xp, meta = pack_grid(x)
+    z = jnp.zeros((1, 128), jnp.float32)
+
+    y, st = fused_conv3x3_p(xp, w, b, z, z, meta, False, True, True, True)
+    yf, stf = fused_conv3x3_p(xp, w, b, z, z, meta, False, True, True, False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yf))
+    # skip-edges stats ~= XLA stats of the interior (bf16 output vs f32
+    # in-kernel accumulation -> loose tolerance)
+    ref = packed_stats(y[:, 1:-1])
+    np.testing.assert_allclose(
+        np.asarray(st), np.asarray(ref), rtol=3e-2, atol=0.5
+    )
+    # full - skip ~= the edge slabs' contribution
+    edge = packed_stats(jnp.concatenate([y[:, :1], y[:, -1:]], 1))
+    np.testing.assert_allclose(
+        np.asarray(stf - st), np.asarray(edge), rtol=3e-2, atol=0.5
+    )
+
+    # gradient parity vs the sliced XLA-stats formulation
+    def f_kernel(w):
+        _, st = fused_conv3x3_p(xp, w, b, z, z, meta, False, True, True,
+                                True)
+        return jnp.sum(st[:, 0]) + jnp.sum(st[:, 1])
+
+    def f_ref(w):
+        y = fused_conv3x3_p(xp, w, b, z, z, meta, False, False, True)
+        st = packed_stats(y[:, 1:-1])
+        return jnp.sum(st[:, 0]) + jnp.sum(st[:, 1])
+
+    g1, g2 = jax.grad(f_kernel)(w), jax.grad(f_ref)(w)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=5e-2, atol=0.3
+    )
+
+    # add-fused variant (the GP decoder merge) keeps the same contract
+    acc = jnp.asarray(rng.normal(size=xp.shape), jnp.bfloat16)
+    y2, st2 = fused_conv3x3_add_p(xp, acc, w, b, z, z, meta, False, True,
+                                  True)
+    ref2 = packed_stats(y2[:, 1:-1])
+    np.testing.assert_allclose(
+        np.asarray(st2), np.asarray(ref2), rtol=3e-2, atol=0.5
+    )
