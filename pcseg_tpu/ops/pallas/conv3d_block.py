@@ -157,7 +157,7 @@ def _prep_slab(slab, scale_ref, shift_ref, activate, valid=None):
 
 
 def _window_prep_fn(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate,
-                    kd, u, c):
+                    kd, u, c, adj=None):
     """Activated-slab accessor for the kd-slice window + two 1-slab halos.
 
     Each program covers d in [j*kd, (j+1)*kd); halos are clamped reads
@@ -171,20 +171,45 @@ def _window_prep_fn(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref, activate,
     front, then the one new slab per slice BEFORE that slice's matmuls —
     so the VPU prologue of slice k+1 overlaps slice k's MXU work instead
     of the whole window prep serializing ahead of the first matmul (same
-    overlap trick as the half-split fused_block tiles)."""
+    overlap trick as the half-split fused_block tiles).
+
+    ``adj`` = (ym_ref, y0_ref, yp2_ref, gs1_ref, gs2_ref, skip_edges)
+    folds the GroupNorm-stats cotangent broadcast ``x + gs1 + 2*gs2*y``
+    into the slab read (the backward kernels' gy windows) instead of a
+    standalone XLA pass over the packed array — the y refs share the
+    x refs' halo specs. With ``skip_edges`` the broadcast skips the
+    first/last global d slab (grid-parallel edge-drop callers)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     one = jnp.float32(1.0)
 
+    def apply_adj(raw, y, dg):
+        ym_, y0_, yp2_, gs1_ref, gs2_ref, skip_edges = adj
+        t = (gs1_ref[0, 0]
+             + 2.0 * gs2_ref[0, 0] * y.astype(jnp.float32))
+        if skip_edges:
+            t = t * jnp.where((dg > 0) & (dg < nj * kd - 1), one, 0.0)
+        return raw.astype(jnp.float32) + t
+
     def prep(i):
         if i == 0:
-            s = _prep_slab(xm_ref[0, 0], scale_ref, shift_ref, activate,
+            raw = xm_ref[0, 0]
+            if adj is not None:
+                raw = apply_adj(raw, adj[0][0, 0],
+                                jnp.maximum(j * kd - 1, 0))
+            s = _prep_slab(raw, scale_ref, shift_ref, activate,
                            jnp.where(j > 0, one, 0.0))
         elif i <= kd:
-            s = _prep_slab(x0_ref[0, i - 1], scale_ref, shift_ref,
-                           activate)
+            raw = x0_ref[0, i - 1]
+            if adj is not None:
+                raw = apply_adj(raw, adj[1][0, i - 1], j * kd + i - 1)
+            s = _prep_slab(raw, scale_ref, shift_ref, activate)
         else:
-            s = _prep_slab(xp_ref[0, 0], scale_ref, shift_ref, activate,
+            raw = xp_ref[0, 0]
+            if adj is not None:
+                raw = apply_adj(raw, adj[2][0, 0],
+                                jnp.minimum(j * kd + kd, nj * kd - 1))
+            s = _prep_slab(raw, scale_ref, shift_ref, activate,
                            jnp.where(j < nj - 1, one, 0.0))
         return s, _edge_panel(s, u, c)
 
@@ -420,14 +445,28 @@ def _conv_pallas_meta(
 # ---------------------------------------------------------------------------
 
 def _dgrad_kernel(
-    gym_ref, gy0_ref, gyp_ref, x0_ref, scale_ref, shift_ref, wm_ref, we_ref,
-    dx_ref, dstats_ref,
-    *, u: int, c: int, kd: int, activate: bool,
+    *refs, u: int, c: int, kd: int, activate: bool, has_adj: bool,
+    skip_edges: bool, want_gadj: bool,
 ):
     """da = conv(gy, flip(w)^T); dx = da * relu' * scale; plus the per-lane
-    dscale/dshift reductions, accumulated over the d grid dimension."""
+    dscale/dshift reductions, accumulated over the d grid dimension.
+
+    With ``has_adj``, the GroupNorm-stats cotangent broadcast
+    ``gy + gs1 + 2*gs2*y`` is folded into the gy window reads (no
+    standalone XLA pass over the packed array); ``want_gadj`` writes the
+    adjusted cotangent out too (the add-variant's accum gradient)."""
+    it = iter(refs)
+    gym_ref, gy0_ref, gyp_ref = next(it), next(it), next(it)
+    adj = None
+    if has_adj:
+        adj = (next(it), next(it), next(it), next(it), next(it), skip_edges)
+    x0_ref, scale_ref, shift_ref = next(it), next(it), next(it)
+    wm_ref, we_ref = next(it), next(it)
+    dx_ref, dstats_ref = next(it), next(it)
+    gadj_ref = next(it) if want_gadj else None
+
     prep = _window_prep_fn(gym_ref, gy0_ref, gyp_ref, None, None, False, kd,
-                           u, c)
+                           u, c, adj=adj)
     window = [prep(0), prep(1), prep(2)]
 
     @pl.when(pl.program_id(1) == 0)
@@ -440,6 +479,8 @@ def _dgrad_kernel(
     for k in range(kd):
         if k + 1 < kd:
             window.append(prep(k + 3))
+        if want_gadj:
+            gadj_ref[0, k] = window[k + 1][0]
         # the epilogue's x read/upcast is VPU work independent of the
         # matmuls — emit it ahead of them too
         if activate:
@@ -460,7 +501,7 @@ def _dgrad_kernel(
 
 
 def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
-                  *, activate, interpret):
+                  *, activate, interpret, adj=None, want_gadj=False):
     b, d, rows, _ = xp.shape
     h, u, c = meta
     kd = _pick_kd(d, rows)
@@ -471,49 +512,70 @@ def _dgrad_pallas(gy, xp, scale, shift, wm_t, we_t, meta,
         (1, 1, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
 
-    dx, dstats = pl.pallas_call(
-        functools.partial(_dgrad_kernel, u=u, c=c, kd=kd, activate=activate),
+    in_specs = [prev, cur, nxt]
+    args = [gy, gy, gy]
+    if adj is not None:
+        yp, gs1, gs2, skip_edges = adj
+        yprev, ycur, ynxt = _halo_specs(rows, kd, d)
+        in_specs += [yprev, ycur, ynxt, bspec, bspec]
+        args += [yp, yp, yp, gs1[:, None], gs2[:, None]]
+    else:
+        skip_edges = False
+    in_specs += [dspec, bspec, bspec, wspec, wspec]
+    args += [xp, scale[:, None], shift[:, None],
+             wm_t.astype(jnp.bfloat16), we_t.astype(jnp.bfloat16)]
+
+    out_specs = [
+        dspec,
+        pl.BlockSpec((1, 2, LANES), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16, vma=vma),
+        jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
+    ]
+    if want_gadj:
+        out_specs.append(dspec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16, vma=vma)
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_dgrad_kernel, u=u, c=c, kd=kd, activate=activate,
+                          has_adj=adj is not None, skip_edges=skip_edges,
+                          want_gadj=want_gadj),
         grid=(b, d // kd),
-        in_specs=[
-            prev,
-            cur,
-            nxt,
-            pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            bspec,
-            bspec,
-            wspec,
-            wspec,
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 2, LANES), lambda i, j: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16, vma=vma),
-            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=_interp(interpret),
         compiler_params=_compiler_params(),
-    )(gy, gy, gy, xp, scale[:, None], shift[:, None],
-      wm_t.astype(jnp.bfloat16), we_t.astype(jnp.bfloat16))
-    return dx, dstats
+    )(*args)
+    if want_gadj:
+        return out
+    dx, dstats = out
+    return dx, dstats, None
 
 
 def _wgrad_kernel(
-    xm_ref, x0_ref, xp_ref, gy0_ref, scale_ref, shift_ref,
-    dwm_ref, dwe_ref, dbias_ref,
-    *, u: int, c: int, kd: int, activate: bool,
+    *refs, u: int, c: int, kd: int, activate: bool, has_adj: bool,
+    skip_edges: bool,
 ):
     """dwm_t += a_shifted^T @ gy; dwe += pe^T @ gy; dbias += sum(gy) —
-    all three accumulated across the entire (b, d) grid."""
+    all three accumulated across the entire (b, d) grid. With
+    ``has_adj`` the stats-cotangent broadcast is folded into the gy
+    slice reads (same formula as _dgrad_kernel's windows)."""
+    it = iter(refs)
+    xm_ref, x0_ref, xp_ref, gy0_ref = next(it), next(it), next(it), next(it)
+    y0_ref = gs1_ref = gs2_ref = None
+    if has_adj:
+        y0_ref, gs1_ref, gs2_ref = next(it), next(it), next(it)
+    scale_ref, shift_ref = next(it), next(it)
+    dwm_ref, dwe_ref, dbias_ref = next(it), next(it), next(it)
+
     prep = _window_prep_fn(xm_ref, x0_ref, xp_ref, scale_ref, shift_ref,
                            activate, kd, u, c)
     window = [prep(0), prep(1), prep(2)]
@@ -524,12 +586,21 @@ def _wgrad_kernel(
         dwe_ref[:] = jnp.zeros_like(dwe_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
     dn = (((0,), (0,)), ((), ()))
     db_acc = [jnp.zeros((LANES,), jnp.float32) for _ in range(2)]
     for k in range(kd):
         if k + 1 < kd:
             window.append(prep(k + 3))
         gy = gy0_ref[0, k]
+        if has_adj:
+            t = (gs1_ref[0, 0] + 2.0 * gs2_ref[0, 0]
+                 * y0_ref[0, k].astype(jnp.float32))
+            if skip_edges:
+                dg = j * kd + k
+                t = t * jnp.where((dg > 0) & (dg < nj * kd - 1), 1.0, 0.0)
+            gy = (gy.astype(jnp.float32) + t).astype(jnp.bfloat16)
         for dz, (slab, panel) in enumerate(window[k : k + 3]):
             dwe_ref[dz * 6 * c : (dz + 1) * 6 * c] += jax.lax.dot_general(
                 panel, gy, dn, preferred_element_type=jnp.float32
@@ -546,7 +617,8 @@ def _wgrad_kernel(
     dbias_ref[0] += db_acc[0] + db_acc[1]
 
 
-def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
+def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret,
+                  adj=None):
     b, d, rows, _ = xp.shape
     h, u, c = meta
     kd = _pick_kd(d, rows)
@@ -556,22 +628,28 @@ def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
     bspec = pl.BlockSpec(
         (1, 1, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    dspec = pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
     cspec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
+    in_specs = [prev, cur, nxt, dspec]
+    args = [xp, xp, xp, gy]
+    if adj is not None:
+        yp, gs1, gs2, skip_edges = adj
+        in_specs += [dspec, bspec, bspec]
+        args += [yp, gs1[:, None], gs2[:, None]]
+    else:
+        skip_edges = False
+    in_specs += [bspec, bspec]
+    args += [scale[:, None], shift[:, None]]
+
     dwm, dwe, dbias = pl.pallas_call(
-        functools.partial(_wgrad_kernel, u=u, c=c, kd=kd, activate=activate),
+        functools.partial(_wgrad_kernel, u=u, c=c, kd=kd, activate=activate,
+                          has_adj=adj is not None, skip_edges=skip_edges),
         grid=(b, d // kd),
-        in_specs=[
-            prev,
-            cur,
-            nxt,
-            pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            bspec,
-            bspec,
-        ],
+        in_specs=in_specs,
         out_specs=(
             cspec((9 * LANES, LANES)),
             cspec((18 * c, LANES)),
@@ -584,7 +662,7 @@ def _wgrad_pallas(xp, gy, scale, shift, meta, *, activate, interpret):
         ),
         interpret=_interp(interpret),
         compiler_params=_compiler_params(),
-    )(xp, xp, xp, gy, scale[:, None], shift[:, None])
+    )(*args)
     return dwm, dwe, dbias
 
 
@@ -621,36 +699,35 @@ def _run_fwd(xp, w, bias, scale, shift, accum, meta, activate, want_stats,
 
 
 def _run_bwd(res, gy, gstats, meta, activate, interpret,
-             stats_skip_edges=False):
+             stats_skip_edges=False, want_gadj=False):
     """Shared backward. gstats=None when the op had no stats output.
 
     With stats, the cotangent entering the conv accumulator is
     g' = gy + gs1 + 2*gs2*y  (per-lane broadcast of the sum/sumsq
-    cotangents) — one fused elementwise pass on the packed bf16 arrays.
-    When the forward skipped the edge slabs' stats, the broadcast skips
-    them too (their only cotangent is the incoming gy, which the caller's
-    edge-drop slice already zeroed).
+    cotangents). The broadcast is folded into the dgrad/wgrad kernels'
+    gy reads (it used to be a standalone XLA pass over the packed
+    arrays — ~0.3 ms per level-0 conv of pure HBM traffic the kernels'
+    MXU-bound schedules absorb for free); the add-variant's accum
+    gradient IS g', so ``want_gadj`` has dgrad write it out as an extra
+    output. When the forward skipped the edge slabs' stats, the
+    broadcast skips them too (their only cotangent is the incoming gy,
+    which the caller's edge-drop slice already zeroed).
     """
     xp, w, scale, shift, yp = res
     c = meta[2]
+    adj = None
     if gstats is not None:
-        gs1 = gstats[:, 0][:, None, None, :]
-        gs2 = gstats[:, 1][:, None, None, :]
-        adj = gs1 + 2.0 * gs2 * yp.astype(jnp.float32)
-        if stats_skip_edges:
-            d = yp.shape[1]
-            di = jnp.arange(d)
-            dmask = ((di > 0) & (di < d - 1)).astype(jnp.float32)
-            adj = adj * dmask[None, :, None, None]
-        gy = gy.astype(jnp.float32) + adj
+        adj = (yp, gstats[:, 0], gstats[:, 1], stats_skip_edges)
     gy = gy.astype(jnp.bfloat16)
     wm_t, we_t = pack_weights(_transpose_flip(w))
-    dx, dstats = _dgrad_pallas(
+    dx, dstats, gadj = _dgrad_pallas(
         gy, xp, scale, shift, wm_t, we_t, meta,
-        activate=activate, interpret=interpret,
+        activate=activate, interpret=interpret, adj=adj,
+        want_gadj=want_gadj and adj is not None,
     )
     dwm, dwe, dbias_lane = _wgrad_pallas(
-        xp, gy, scale, shift, meta, activate=activate, interpret=interpret
+        xp, gy, scale, shift, meta, activate=activate, interpret=interpret,
+        adj=adj,
     )
     dw = _unpack_wgrad(dwm, dwe, c).astype(w.dtype)
     dbias = jnp.sum(
@@ -662,7 +739,7 @@ def _run_bwd(res, gy, gstats, meta, activate, interpret,
         dscale = jnp.zeros_like(scale)
         dshift = jnp.zeros_like(shift)
     return (dx, dw, dbias, dscale.astype(scale.dtype),
-            dshift.astype(shift.dtype), gy)
+            dshift.astype(shift.dtype), gadj if adj is not None else gy)
 
 
 # ---------------------------------------------------------------------------
@@ -732,7 +809,8 @@ def _pa_fwd(xp, accum, w, bias, scale, shift, meta, activate, interpret,
 def _pa_bwd(meta, activate, interpret, stats_skip_edges, res, g):
     gy, gstats = g
     dx, dw, dbias, dscale, dshift, gacc = _run_bwd(
-        res, gy, gstats, meta, activate, interpret, stats_skip_edges
+        res, gy, gstats, meta, activate, interpret, stats_skip_edges,
+        want_gadj=True,
     )
     return dx, gacc, dw, dbias, dscale, dshift
 
