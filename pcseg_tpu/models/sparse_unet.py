@@ -24,7 +24,10 @@ from pcseg_tpu.ops.sparse import (
     gather_point_logits,
     site_layer_norm,
     site_layer_norm_init,
+    sparse_down2x,
     sparse_from_grid,
+    sparse_pool,
+    sparse_up2x,
     subm_conv,
     subm_conv_dense,
     subm_conv_init,
@@ -51,10 +54,11 @@ class SparseVoxelNet:
     # block impl: static per-event occupied-tile capacity and tile edge
     max_tiles: int = 128
     tile: int = 8
-    # U-Net hierarchy (dense impl only): levels > 1 adds stride-2
+    # U-Net hierarchy (all three impls): levels > 1 adds stride-2
     # downsampling stages whose occupancy is the 2^3-pooled active set,
     # with skip connections back up — a sparse U-Net where every
-    # resolution only carries occupied voxels.
+    # resolution only carries occupied voxels (occupied tiles for
+    # impl='block'; capacity-capped site sets for impl='gather').
     levels: int = 1
     # voxelizer implementation (ops/voxel.py voxelize): "auto" picks the
     # one-hot-matmul contraction below the measured R^3*(C+1) crossover
@@ -76,10 +80,6 @@ class SparseVoxelNet:
             p[f"ln{i}"] = site_layer_norm_init(self.width)
             cin = self.width
         if self.levels > 1:
-            if self.impl not in ("dense", "block"):
-                raise ValueError(
-                    "levels > 1 requires impl='dense' or impl='block'"
-                )
             from pcseg_tpu.ops.conv3d import conv3d_init
 
             w = self.width
@@ -128,16 +128,54 @@ class SparseVoxelNet:
         if self.impl == "block":
             logits, dropped = self._apply_block(p, grid, points, mask, dt)
             return (logits, {"__overflow__": dropped}) if train else logits
-        sp = sparse_from_grid(grid, self.max_active)
+        logits, dropped = self._apply_gather(p, grid, points, mask, dt)
+        if train:
+            return logits, {"__overflow__": dropped}
+        return logits
 
-        x = sp.feats.astype(dt)
+    def _gather_stack(self, p, prefix, x, sp, dt):
         for i in range(self.depth):
-            sp = sp._replace(feats=x)
-            y = subm_conv(p[f"conv{i}"], sp, compute_dtype=dt)
-            y = site_layer_norm(p[f"ln{i}"], y)
+            y = subm_conv(
+                p[f"{prefix}conv{i}"], sp._replace(feats=x), compute_dtype=dt
+            )
+            y = site_layer_norm(p[f"{prefix}ln{i}"], y)
             y = jnp.maximum(y, 0.0).astype(dt)
-            # residual after the first block (channel match)
-            x = y if i == 0 else (x + y)
+            # residual after the first block (channel match); deeper
+            # levels' first block adds onto the down conv's output
+            x = y if (i == 0 and prefix == "") else (x + y)
+        return x
+
+    def _apply_gather(self, p, grid, points, mask, dt):
+        """Rulebook-gather path. levels > 1 runs the sparse U-Net on the
+        pooled active-site hierarchy (sparse_pool / sparse_down2x /
+        sparse_up2x) — same parameters and, at in-capacity sites, the
+        same values as the masked-dense hierarchy (test_sparse.py)."""
+        sp = sparse_from_grid(grid, self.max_active)
+        dropped = sp.dropped
+        x = self._gather_stack(p, "", sp.feats.astype(dt), sp, dt)
+
+        if self.levels > 1:
+            skips, sps = [x], [sp]
+            for lv in range(1, self.levels):
+                spc = sparse_pool(sps[-1], self.max_active)
+                dropped = dropped + spc.dropped
+                h = sparse_down2x(
+                    p[f"down{lv}"], skips[-1], sps[-1], spc, compute_dtype=dt
+                )
+                h = site_layer_norm(p[f"down{lv}_ln"], h)
+                h = jnp.maximum(h, 0.0).astype(dt)
+                h = self._gather_stack(p, f"l{lv}_", h, spc, dt)
+                skips.append(h)
+                sps.append(spc)
+            h = skips[-1]
+            for lv in range(self.levels - 1, 0, -1):
+                u = sparse_up2x(
+                    p[f"up{lv}"], h, sps[lv], sps[lv - 1], compute_dtype=dt
+                )
+                u = site_layer_norm(p[f"up{lv}_ln"], u)
+                u = jnp.maximum(u, 0.0).astype(dt)
+                h = skips[lv - 1] + u
+            x = h
 
         site_logits = (
             jax.lax.dot_general(
@@ -148,12 +186,7 @@ class SparseVoxelNet:
             )
             + p["head"]["bias"]
         ).astype(jnp.float32)
-
-        sp = sp._replace(feats=x)
-        logits = gather_point_logits(site_logits, sp, points, mask)
-        if train:
-            return logits, {"__overflow__": sp.dropped}
-        return logits
+        return gather_point_logits(site_logits, sp, points, mask), dropped
 
     def overflow_counts(self, points, mask=None) -> jax.Array:
         """(B,) int32 — occupied sites/tiles beyond the static capacity
@@ -188,7 +221,12 @@ class SparseVoxelNet:
                 bs, _slots = block_pool(bs, self.max_tiles)
                 dropped = dropped + bs.dropped
             return dropped
-        return sparse_from_grid(g0, self.max_active).dropped
+        sp = sparse_from_grid(g0, self.max_active)
+        dropped = sp.dropped
+        for _ in range(1, self.levels):
+            sp = sparse_pool(sp, self.max_active)
+            dropped = dropped + sp.dropped
+        return dropped
 
     def _block_stack(self, p, prefix, x, bs, dt):
         from pcseg_tpu.ops.block_sparse import block_subm_conv

@@ -166,6 +166,128 @@ def subm_conv_dense(
     return jnp.where(active[..., None], y, 0.0)
 
 
+def sparse_pool(sp: SparseVoxels, max_active: int) -> SparseVoxels:
+    """Stride-2 occupancy pooling: coarse site active iff any of its 2^3
+    children is an (in-capacity) active fine site.
+
+    Mirrors the dense impl's ``reduce_window(or)`` over the occupancy grid
+    (models/sparse_unet.py _apply_dense) so the gather U-Net sees the same
+    pooled hierarchy. Returns a coarse SparseVoxels at R/2 with zero-width
+    features (the level's features come from ``sparse_down2x``); its
+    ``.dropped`` counts coarse sites beyond capacity, which callers must
+    surface like every other capacity cap."""
+    r = sp.grid_size
+    rc = r // 2
+    b = sp.lookup.shape[0]
+    occ = (sp.lookup[:, : r * r * r] >= 0).reshape(b, rc, 2, rc, 2, rc, 2)
+    cnt = jnp.any(occ, axis=(2, 4, 6)).astype(jnp.int32)
+    grid = VoxelGrid(
+        features=jnp.zeros((b, rc, rc, rc, 0), sp.feats.dtype),
+        counts=cnt,
+        lo=jnp.zeros((b, 3), jnp.float32),
+        scale=jnp.ones((b, 3), jnp.float32),
+    )
+    return sparse_from_grid(grid, max_active)
+
+
+def _taps2() -> jnp.ndarray:
+    """(8, 3) int32 within-parent offsets, ordered as a (2,2,2) reshape."""
+    return jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        jnp.int32,
+    )
+
+
+def sparse_down2x(
+    p: dict,
+    x_fine: jax.Array,
+    sp_fine: SparseVoxels,
+    sp_coarse: SparseVoxels,
+    compute_dtype=None,
+) -> jax.Array:
+    """Stride-2 down conv on sites: (B, Af, Cin) -> (B, Ac, Cout).
+
+    Per coarse site o: sum_t W[t] @ x[2o + t] over the 2^3 children
+    (absent children contribute zero) — numerically identical at active
+    sites to the dense impl's ``conv3d(stride=2)`` masked to the pooled
+    occupancy (tap mapping verified against lax.conv_general_dilated).
+    p["kernel"]: (2, 2, 2, Cin, Cout) as from conv3d_init."""
+    rf = sp_fine.grid_size
+    rf3 = rf * rf * rf
+    dt = compute_dtype or x_fine.dtype
+    kern = p["kernel"].reshape(8, *p["kernel"].shape[-2:])   # (8, Cin, Cout)
+    taps = _taps2()
+
+    def one(ijk_c, mask_c, lookup_f, xf):
+        child = ijk_c[None, :, :] * 2 + taps[:, None, :]     # (8, Ac, 3)
+        cflat = (child[..., 0] * rf + child[..., 1]) * rf + child[..., 2]
+        cflat = jnp.where(mask_c[None, :], cflat, rf3)
+        csite = lookup_f[cflat]                              # (8, Ac)
+        exists = csite >= 0
+        g = xf[jnp.maximum(csite, 0)]                        # (8, Ac, Cin)
+        g = jnp.where(exists[..., None], g, 0.0)
+        y = jax.lax.dot_general(
+            g.astype(dt),
+            kern.astype(dt),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                    # (8, Ac, Cout)
+        return jnp.sum(y, axis=0) + p["bias"]
+
+    out = jax.vmap(one)(
+        sp_coarse.ijk, sp_coarse.site_mask, sp_fine.lookup, x_fine
+    )
+    return jnp.where(sp_coarse.site_mask[..., None], out, 0.0)
+
+
+def sparse_up2x(
+    p: dict,
+    h_coarse: jax.Array,
+    sp_coarse: SparseVoxels,
+    sp_fine: SparseVoxels,
+    compute_dtype=None,
+) -> jax.Array:
+    """Stride-2 transposed conv on sites: (B, Ac, Cin) -> (B, Af, Cout).
+
+    Each fine site f = 2p + t reads W[1 - t] @ h[parent p] — the tap
+    mapping of ``lax.conv_transpose(k=2, s=2, SAME)`` (verified
+    numerically; conv_transpose does not flip the kernel, the 1-t comes
+    from its input-dilated formulation). The per-site tap select runs as
+    8 masked matmuls (one per tap) rather than a per-row kernel gather —
+    gathers of (Cin, Cout) blocks serialize on TPU, masked MXU work
+    doesn't. p["kernel"]: (2, 2, 2, Cin, Cout)."""
+    rc = sp_coarse.grid_size
+    rc3 = rc * rc * rc
+    dt = compute_dtype or h_coarse.dtype
+    kern = p["kernel"].reshape(8, *p["kernel"].shape[-2:])   # (8, Cin, Cout)
+
+    def one(ijk_f, mask_f, lookup_c, hc):
+        parent = ijk_f // 2                                  # (Af, 3)
+        pflat = (parent[..., 0] * rc + parent[..., 1]) * rc + parent[..., 2]
+        pflat = jnp.where(mask_f, pflat, rc3)
+        psite = lookup_c[pflat]                              # (Af,)
+        ok = psite >= 0
+        hp = hc[jnp.maximum(psite, 0)]                       # (Af, Cin)
+        hp = jnp.where(ok[:, None], hp, 0.0).astype(dt)
+        t = 1 - (ijk_f % 2)                                  # (Af, 3)
+        tidx = (t[:, 0] * 2 + t[:, 1]) * 2 + t[:, 2]         # (Af,)
+        out = jnp.zeros((ijk_f.shape[0], kern.shape[-1]), jnp.float32)
+        for ti in range(8):
+            sel = (tidx == ti).astype(dt)[:, None]
+            out = out + jax.lax.dot_general(
+                hp * sel,
+                kern[ti].astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return out + p["bias"]
+
+    out = jax.vmap(one)(
+        sp_fine.ijk, sp_fine.site_mask, sp_coarse.lookup, h_coarse
+    )
+    return jnp.where(sp_fine.site_mask[..., None], out, 0.0)
+
+
 def site_layer_norm_init(c: int) -> dict:
     return {
         "scale": jnp.ones((c,), jnp.float32),

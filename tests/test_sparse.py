@@ -176,10 +176,61 @@ def test_sparse_multilevel_unet(mesh8, small_events):
     assert losses[-1] < losses[0], losses[::4]
 
 
-def test_sparse_gather_impl_rejects_levels():
-    import pytest as _pytest
+def test_gather_multilevel_matches_dense(rng, small_events):
+    """levels>1 gather hierarchy == masked-dense hierarchy (same params).
 
-    with _pytest.raises(ValueError):
-        SparseVoxelNet(num_classes=4, levels=2, impl="gather").init(
-            jax.random.key(0)
+    Capacity is set above the occupancy at every level so the gather
+    path's caps don't bite — the two formulations are then numerically
+    identical at active sites (sparse_pool / sparse_down2x / sparse_up2x
+    vs reduce_window + conv3d(stride=2) + conv3d_transpose)."""
+    import dataclasses
+
+    points, labels, masks = pad_events(small_events[:4], 512, 4)
+    mg = SparseVoxelNet(num_classes=4, grid_size=16, width=16, depth=2,
+                        levels=2, max_active=2048, impl="gather")
+    md = dataclasses.replace(mg, impl="dense")
+    v = mg.init(jax.random.key(2))
+    lg = mg.apply(v, jnp.asarray(points), train=False, mask=jnp.asarray(masks))
+    ld = md.apply(v, jnp.asarray(points), train=False, mask=jnp.asarray(masks))
+    np.testing.assert_allclose(
+        np.asarray(ld), np.asarray(lg), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_gather_multilevel_trains_and_counts_overflow(rng, small_events):
+    """The gather U-Net trains; pooled-level capacity overflow is counted
+    by overflow_counts and surfaced by the train step."""
+    model = SparseVoxelNet(
+        num_classes=4, grid_size=16, width=8, depth=2, levels=2,
+        max_active=2048, impl="gather",
+    )
+    variables = model.init(jax.random.key(4))
+    points, labels, masks = pad_events(small_events[:4], 512, 4)
+    logits, aux = model.apply(
+        variables, jnp.asarray(points), train=True, mask=jnp.asarray(masks)
+    )
+    assert logits.shape == (4, 512, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert (np.asarray(aux["__overflow__"]) == 0).all()
+
+    # grads flow through pool/down/up
+    def loss(p):
+        lg, _ = model.apply(
+            {"params": p}, jnp.asarray(points), train=True,
+            mask=jnp.asarray(masks),
         )
+        oh = jax.nn.one_hot(jnp.asarray(labels), 4)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(lg) * oh, -1))
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    assert float(jnp.abs(g["down1"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(g["up1"]["kernel"]).sum()) > 0
+
+    # a tiny capacity makes every level overflow — counted, not silent
+    tiny = SparseVoxelNet(
+        num_classes=4, grid_size=16, width=8, depth=2, levels=2,
+        max_active=8, impl="gather",
+    )
+    counts = tiny.overflow_counts(jnp.asarray(points), jnp.asarray(masks))
+    assert (np.asarray(counts) > 0).all()
