@@ -21,6 +21,7 @@ Architecture (grid R, widths w, 2w, 4w):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -33,7 +34,14 @@ from pcseg_tpu.ops.conv3d import (
     group_norm,
     group_norm_init,
 )
-from pcseg_tpu.ops.voxel import devoxelize_trilinear, voxelize
+from pcseg_tpu.ops.voxel import (
+    devoxelize_trilinear,
+    devoxelize_trilinear_grid2,
+    resolve_devoxelize_impl,
+    resolve_voxelize_impl,
+    voxelize,
+    voxelize_packed,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,11 +131,6 @@ class VoxelUNet3d:
         if mask is None:
             mask = jnp.ones(points.shape[:2], bool)
 
-        grid = voxelize(
-            points, mask, self.grid_size,
-            impl=self.voxelize_impl, matmul_dtype=dt,
-        )
-
         core = self._unet_core
         impl = self.conv_impl
         if impl == "auto":
@@ -144,22 +147,55 @@ class VoxelUNet3d:
             core = self._unet_core_fused
         elif impl != "xla":
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
+
+        vox_impl = resolve_voxelize_impl(
+            self.voxelize_impl, self.grid_size, self.in_channels
+        )
+        if impl == "fused" and vox_impl == "matmul":
+            # voxelize straight into the Pallas kernels' lane-packed
+            # form — skips the 5-D grid whose d-minor XLA layout forced
+            # full-grid copies at the pack boundary (ops/voxel.py
+            # voxelize_packed; bit-identical values)
+            x, lo, scale = voxelize_packed(
+                points, mask, self.grid_size, self.width, matmul_dtype=dt
+            )
+        else:
+            grid = voxelize(
+                points, mask, self.grid_size, impl=vox_impl,
+                matmul_dtype=dt,
+            )
+            x, lo, scale = grid.features.astype(dt), grid.lo, grid.scale
+
+        # fused core + matmul devox: hand the head output to devoxelize
+        # in the flat grid2 layout — the 5-D (B, R, R, R, NC) hand-off
+        # costs a full-grid relayout copy each way (head1x1_grid2 /
+        # devoxelize_trilinear_grid2 docstrings)
+        use_grid2 = impl == "fused" and resolve_devoxelize_impl(
+            self.devox_impl, self.grid_size, self.num_classes
+        ) == "matmul"
+        if use_grid2:
+            core = functools.partial(core, grid2_out=True)
         if self.remat:
             core = jax.checkpoint(core, static_argnums=())
-        voxel_logits = core(p, grid.features.astype(dt))
+        voxel_logits = core(p, x)
 
         # grid-gradient precision follows the model's compute dtype
         # (bf16 models take the fast bf16 contraction; f32 models get
         # full-precision grid gradients — ADVICE r2)
-        logits = devoxelize_trilinear(
-            voxel_logits, points, mask, grid.lo, grid.scale, bwd_dtype=dt,
-            impl=self.devox_impl,
-        )
+        if use_grid2:
+            logits = devoxelize_trilinear_grid2(
+                voxel_logits, points, mask, lo, scale, bwd_dtype=dt
+            )
+        else:
+            logits = devoxelize_trilinear(
+                voxel_logits, points, mask, lo, scale, bwd_dtype=dt,
+                impl=self.devox_impl,
+            )
         if train:
             return logits, {}
         return logits
 
-    def _unet_core_fused(self, p, x):
+    def _unet_core_fused(self, p, x, grid2_out=False):
         """U-Net core on the lane-packed Pallas conv blocks.
 
         Every 3^3 conv runs as ops/pallas/conv3d_block.fused_conv3x3_p
@@ -181,6 +217,7 @@ class VoxelUNet3d:
             down2x_packed,
             fused_conv3x3_add_p,
             fused_conv3x3_p,
+            head1x1_grid2,
             head1x1_packed,
             pack_grid,
             stats_scale_shift,
@@ -209,13 +246,19 @@ class VoxelUNet3d:
         # the single slowest piece, ~12 ms f+b): zero-pad input channels
         # to width and embed the (3,3,3,cin,w0) weight in a square zero
         # kernel — the pad columns contribute nothing, grads flow only to
-        # the real slice
-        cin = x.shape[-1]
+        # the real slice. A 4-D x is already lane-packed + channel-padded
+        # (apply's voxelize_packed fast path).
         w0 = widths[0]
         b = x.shape[0]
-        xp, meta = pack_grid(
-            jnp.pad(x.astype(dt), ((0, 0),) * 4 + ((0, w0 - cin),))
-        )
+        if x.ndim == 4:
+            cin = self.in_channels
+            xp = x
+            meta = (self.grid_size, self.grid_size // (128 // w0), w0)
+        else:
+            cin = x.shape[-1]
+            xp, meta = pack_grid(
+                jnp.pad(x.astype(dt), ((0, 0),) * 4 + ((0, w0 - cin),))
+            )
         kstem = jnp.zeros((3, 3, 3, w0, w0), jnp.float32)
         kstem = kstem.at[..., :cin, :].set(p["stem"]["kernel"])
         zeros = jnp.zeros((b, 128), jnp.float32)
@@ -267,7 +310,8 @@ class VoxelUNet3d:
                 sc, sh, meta,
             )
             sc, sh = fold(st, f"dec{i}_b_gn", i)
-        return head1x1_packed(
+        head = head1x1_grid2 if grid2_out else head1x1_packed
+        return head(
             act_packed(xp, sc, sh), p["head"]["kernel"], p["head"]["bias"],
             meta, self.num_classes,
         )

@@ -1086,3 +1086,32 @@ def head1x1_packed(xp, w, bias, meta, num_classes):
         preferred_element_type=jnp.float32,
     ) + _bias_lane(bpad, c)
     return y.reshape(b, d, h, u * p, c)[..., :num_classes]
+
+
+def head1x1_grid2(xp, w, bias, meta, num_classes):
+    """1x1 head emitted straight in devoxelize's "grid2" layout:
+    (B, R*R, R*NC) f32, row-major (z, y | x, class).
+
+    The lane placement rides the head matmul itself — column
+    ``j*NC + cls`` of the (128, P*NC) weight holds ``k[:, cls]`` for
+    sub-voxel ``j`` — so neither the 5-D (B, R, R, R, NC) grid nor the
+    channel-pad slice of ``head1x1_packed`` materializes, and the
+    backward is the transposed dot straight back into packed lanes
+    (the 5-D hand-off cost a full-grid relayout copy each way in the
+    r3 xplane profile). The trailing reshape is a row-major bitcast:
+    (b, d, h*u, p*nc) -> (b, d*h, u*p*nc) with element order
+    (x//p, x%p, cls) = (x, cls).
+    """
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    nc = num_classes
+    p = LANES // c
+    k = w.reshape(w.shape[-2], w.shape[-1])                  # (C, NC)
+    wh = jnp.einsum(
+        "ij,ab->iajb", jnp.eye(p, dtype=k.dtype), k
+    ).reshape(LANES, p * nc).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        xp, wh, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jnp.tile(bias.astype(jnp.float32), p)
+    return y.reshape(b, d * h, u * p * nc)

@@ -16,6 +16,7 @@ over the 8 surrounding voxel centers.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -92,8 +93,24 @@ def _voxelize_scatter(flat, feats, r3, c):
     return jax.vmap(scatter_one)(flat, feats)
 
 
-def _voxelize_matmul(flat, feats, r, dt):
-    """Sums + counts as ONE batched one-hot MXU contraction.
+def _use_plane_kernels(dt, r) -> bool:
+    """Trace-time dispatch to the fused onehot_contract Pallas kernels.
+
+    TPU-only (cf. parallel/gp.py fused-core fallback): the Pallas HLO
+    interpreter can't run under vma-typed shard_map, and the CPU-mesh
+    dryrun/tests reach these through voxelize/devoxelize. R<=64 keeps
+    the (R^2, N) VMEM accumulator + in-kernel one-hot tiles comfortable."""
+    return (
+        jnp.dtype(dt) == jnp.bfloat16
+        and r <= 64
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _voxelize_matmul_raw(flat, feats, r, dt):
+    """Sums + counts as ONE batched one-hot MXU contraction, returned in
+    the raw (B, R^2, R*(C+1)) layout (x-major, channel-minor columns;
+    the count rides as the last channel).
 
     Same trick as the devoxelize backward (``_devox_bwd``): the per-point
     one-hot over R^3 factorizes per axis, so
@@ -117,6 +134,24 @@ def _voxelize_matmul(flat, feats, r, dt):
         [feats, jnp.ones(feats.shape[:-1] + (1,), feats.dtype)], axis=-1
     )
     ext = jnp.where(flat[..., None] < r3, ext, 0.0)
+
+    if _use_plane_kernels(dt, r):
+        # fused path (R<=64: the (R^2, R*(C+1)) VMEM accumulator and the
+        # in-kernel one-hot tiles fit comfortably): the (B, M, R^2) zy one-hot is generated tile-by-
+        # tile in VMEM by the Pallas kernel instead of materializing in
+        # HBM (512 MB written + re-read at B8 x 8192 x R64 — the
+        # broadcast_multiply fusions in the r3 xplane profile). The
+        # small x/channel expansion (B, M, R*(C+1)) stays in XLA.
+        # TPU-only dispatch (cf. parallel/gp.py fused-core fallback): the
+        # Pallas HLO interpreter can't run under vma-typed shard_map, and
+        # the dryrun's CPU-mesh voxel leg reaches this through voxelize.
+        from pcseg_tpu.ops.pallas.onehot_contract import plane_contract
+
+        izy = (fz * r + fy).astype(jnp.int32)   # masked -> R^2 sentinel
+        wx1h = (fx[..., None] == iota).astype(dt)
+        d1 = (wx1h[..., :, None] * ext.astype(dt)[..., None, :]
+              ).reshape(b, m, r * (c + 1))
+        return plane_contract(izy[..., None], None, d1, r * r)
 
     def contract(fz_c, fy_c, fx_c, ext_c):
         wz = (fz_c[..., None] == iota).astype(dt)          # (B, Mc, R)
@@ -160,8 +195,97 @@ def _voxelize_matmul(flat, feats, r, dt):
             _zeros_like_vma((b, r * r, r * (c + 1)), feats),
             xs,
         )
+    return out
+
+
+def _voxelize_matmul(flat, feats, r, dt):
+    b, m, c = feats.shape
+    out = _voxelize_matmul_raw(flat, feats, r, dt)
     out = out.reshape(b, r, r, r, c + 1)
     return out[..., :c], out[..., c]
+
+
+def resolve_voxelize_impl(impl: str, grid_size: int, c: int) -> str:
+    """'auto' -> measured crossover: the scatter serializes at ~60 ns
+    per point on TPU while the matmul costs ~2*R^3*C MXU FLOPs/point
+    (~120 TFLOP/s effective bf16), so the one-hot contraction wins
+    whenever R^3*C is small enough. c counts the occupancy channel."""
+    if impl != "auto":
+        return impl
+    return "matmul" if grid_size ** 3 * c <= 4_000_000 else "scatter"
+
+
+def voxelize_packed(
+    points: jax.Array,
+    mask: jax.Array,
+    grid_size: int,
+    w0: int,
+    matmul_dtype=jnp.bfloat16,
+):
+    """Voxelize straight into the lane-packed ``(B, D, H*U, 128)`` bf16
+    form of ops/pallas/conv3d_block (channels zero-padded to ``w0``).
+
+    Why: the fused U-Net's stem consumes the grid packed and channel-
+    padded, and XLA lays the intermediate 5-D (B, R, R, R, C) arrays out
+    d-minor, so the pad + pack round-trips two full-grid layout copies
+    per step (fwd + the backward's rematerialized re-pad — ~1.2 ms of
+    the 23.8 ms 64^3 step, per the xplane profile). Here the mean
+    division runs on the matmul voxelizer's RAW (B, R^2, R*(C+1))
+    contraction output (count column broadcast with a 0/1 placement
+    matmul), and a second 0/1 placement contraction emits the packed
+    lane order directly — every reshape on the way to the kernel is a
+    row-major bitcast. Values are bit-identical to
+    ``pack_grid(pad(voxelize(impl="matmul").features.astype(bf16)))``:
+    the division happens in f32 exactly as in ``voxelize``, the bf16
+    cast after it, and the placement matmuls move bf16 values verbatim.
+
+    Returns (packed, lo, scale); counts never materialize (the voxel
+    U-Net doesn't use them).
+    """
+    import numpy as np
+
+    r = grid_size
+    coords = points[..., :3].astype(jnp.float32)
+    feats = points[..., 3:].astype(jnp.float32)
+    occ = jnp.ones(feats.shape[:-1] + (1,), feats.dtype)
+    feats = jnp.concatenate([feats, occ], axis=-1)    # (B, M, C)
+    c = feats.shape[-1]
+    c1 = c + 1
+    p = 128 // w0
+    if 128 % w0 or r % p:
+        raise ValueError(
+            f"voxelize_packed needs w0 dividing 128 and R a multiple of "
+            f"128/w0; got w0={w0}, R={r}"
+        )
+    u = r // p
+
+    flat, lo, scale = voxel_indices(coords, mask, r)
+    feats = jnp.where(mask[..., None], feats, 0.0)
+    sums = _voxelize_matmul_raw(flat, feats, r, matmul_dtype)
+
+    # count broadcast: S[x*c1 + c, x*c1 + k] = 1 — one exact f32 0/1
+    # contraction puts each voxel's count under all its feature columns
+    s_np = np.zeros((r * c1, r * c1), np.float32)
+    for x in range(r):
+        s_np[x * c1 + c, x * c1 : x * c1 + c1] = 1.0
+    cnt = jax.lax.dot_general(
+        sums, jnp.asarray(s_np), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mean = (sums / jnp.maximum(cnt, 1.0)).astype(jnp.bfloat16)
+
+    # packing placement: column w*c1 + ch -> u*128 + (w % p)*w0 + ch
+    e_np = np.zeros((r * c1, u * 128), np.float32)
+    for w in range(r):
+        for ch in range(c):
+            e_np[w * c1 + ch, (w // p) * 128 + (w % p) * w0 + ch] = 1.0
+    packed = jax.lax.dot_general(
+        mean, jnp.asarray(e_np, np.float32).astype(jnp.bfloat16),
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)                            # (B, R^2, U*128)
+    b = packed.shape[0]
+    return packed.reshape(b, r, r * u, 128), lo, scale
 
 
 def voxelize(
@@ -201,10 +325,7 @@ def voxelize(
     flat, lo, scale = voxel_indices(coords, mask, grid_size)
     feats = jnp.where(mask[..., None], feats, 0.0)
 
-    if impl == "auto":
-        # crossover at 2*R^3*(C+1)/peak_flops ~= 60 ns serialized
-        # scatter cost per point (~120 TFLOP/s effective bf16)
-        impl = "matmul" if r3 * c <= 4_000_000 else "scatter"
+    impl = resolve_voxelize_impl(impl, grid_size, c)
     if impl == "matmul":
         sums, cnts = _voxelize_matmul(flat, feats, grid_size, matmul_dtype)
         sums = sums.reshape(sums.shape[0], r3, c)
@@ -283,6 +404,30 @@ def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
     return jnp.where(mask[..., None], out, 0.0)
 
 
+def _zy_taps(u, r):
+    """Trilinear (z, y) plane taps: (B, M, 4) flat zy ids + f32 weights.
+
+    Same clipping as ``_axis_weights``; duplicate taps at clipped edges
+    are summed in f32 inside the Pallas kernel (onehot_contract), which
+    matches the XLA formulation's per-axis sum-then-cast order."""
+    i0 = jnp.floor(u[..., :2])
+    frac = (u[..., :2] - i0).astype(jnp.float32)
+    i0 = i0.astype(jnp.int32)
+    t0 = jnp.clip(i0, 0, r - 1)
+    t1 = jnp.clip(i0 + 1, 0, r - 1)
+    tz = (t0[..., 0], t1[..., 0])
+    ty = (t0[..., 1], t1[..., 1])
+    wz = (1.0 - frac[..., 0], frac[..., 0])
+    wy = (1.0 - frac[..., 1], frac[..., 1])
+    idx = jnp.stack(
+        [tz[a] * r + ty[b_] for a in (0, 1) for b_ in (0, 1)], axis=-1
+    )
+    wt = jnp.stack(
+        [wz[a] * wy[b_] for a in (0, 1) for b_ in (0, 1)], axis=-1
+    )
+    return idx, wt
+
+
 def _devox_fwd_contract(u, grid2, r, c, dt):
     """One point-chunk's trilinear gather as matmuls: (B, Mc, C).
 
@@ -316,9 +461,28 @@ def _devoxelize_trilinear_matmul(grid_feats, points, mask, lo, scale, dt):
     ``dt`` rounding."""
     b, r = grid_feats.shape[0], grid_feats.shape[1]
     c = grid_feats.shape[-1]
+    grid2 = grid_feats.reshape(b, r * r, r * c).astype(dt)
+    return _devox_matmul_on_grid2(grid2, r, c, points, mask, lo, scale, dt)
+
+
+def _devox_matmul_on_grid2(grid2, r, c, points, mask, lo, scale, dt):
+    """Matmul devoxelize forward on the (B, R*R, R*C) grid2 layout."""
+    b = grid2.shape[0]
     m = points.shape[1]
     u = _trilinear_u(points, mask, lo, scale)
-    grid2 = grid_feats.reshape(b, r * r, r * c).astype(dt)
+    grid2 = grid2.astype(dt)
+
+    if _use_plane_kernels(dt, r):
+        # fused path (R<=64, see _voxelize_matmul_raw): the zy-plane tap matrix is built in VMEM by the
+        # Pallas kernel (no (B, M, R^2) HBM materialization); stage 2
+        # (the 2-tap x interpolation) stays a small XLA reduce
+        from pcseg_tpu.ops.pallas.onehot_contract import plane_gather
+
+        idx, wt = _zy_taps(u, r)
+        t = plane_gather(idx, wt, grid2)               # (B, M, R*C) f32
+        wx = _axis_weights(u[..., 2], r)
+        out = jnp.sum(t.reshape(b, m, r, c) * wx[..., None], axis=2)
+        return jnp.where(mask[..., None], out, 0.0)
 
     budget = _DEVOX_BWD_BUDGET_BYTES
     row_bytes = b * r * r * jnp.dtype(dt).itemsize
@@ -337,6 +501,17 @@ def _devoxelize_trilinear_matmul(grid_feats, points, mask, lo, scale, dt):
         _, chunks = jax.lax.scan(body, None, u_s)           # (n, B, Mc, C)
         out = chunks.transpose(1, 0, 2, 3).reshape(b, -1, c)[:, :m]
     return jnp.where(mask[..., None], out, 0.0)
+
+
+def resolve_devoxelize_impl(impl: str, grid_size: int, c: int) -> str:
+    """'auto' -> matmul below the same R^3*C crossover as ``voxelize``,
+    where the gathers' ~8 ns/row serialization loses to the contraction's
+    R^2*(R*C) MXU work."""
+    if impl != "auto":
+        return impl
+    return (
+        "matmul" if grid_size ** 3 * (c + 1) <= 4_000_000 else "gather"
+    )
 
 
 def devoxelize_trilinear(
@@ -379,9 +554,9 @@ def devoxelize_trilinear(
     training path — a point-coordinate-optimizing use would need the
     reference VJP of ``_devoxelize_trilinear_ref``).
     """
-    if impl == "auto":
-        r, c = grid_feats.shape[1], grid_feats.shape[-1]
-        impl = "matmul" if r ** 3 * (c + 1) <= 4_000_000 else "gather"
+    impl = resolve_devoxelize_impl(
+        impl, grid_feats.shape[1], grid_feats.shape[-1]
+    )
     if impl not in ("gather", "matmul"):
         raise ValueError(f"unknown devoxelize impl {impl!r}")
     return _devoxelize_trilinear_vjp(
@@ -438,13 +613,23 @@ def _devox_contract(u, go, r, c, dt):
     )                                                       # (B, R*R, R*C)
 
 
-def _devox_bwd(bwd_dtype, impl, res, go):
-    points, mask, lo, scale, token, c = res
-    b, r = token.shape[0], token.shape[1]
-    gdtype = token.dtype
-    m = points.shape[1]
-    u = _trilinear_u(points, mask, lo, scale)
-    go = jnp.where(mask[..., None], go, 0.0)
+def _devox_dgrid2(u, go, r, c, bwd_dtype):
+    """The grid cotangent in the (B, R*R, R*C) f32 grid2 layout.
+
+    ``go`` must already be masked. Shared by the 5-D and grid2 VJPs —
+    only the final reshape/cast differs between them."""
+    b, m = go.shape[:2]
+    if _use_plane_kernels(bwd_dtype, r):
+        # fused path (R<=64, see _voxelize_matmul_raw): VMEM-built tap
+        # matrix (see onehot_contract); the (B, M, R*C) x/cotangent
+        # expansion stays in XLA
+        from pcseg_tpu.ops.pallas.onehot_contract import plane_contract
+
+        idx, wt = _zy_taps(u, r)
+        wx = _axis_weights(u[..., 2], r).astype(bwd_dtype)
+        d1 = (wx[..., :, None] * go.astype(bwd_dtype)[..., None, :]
+              ).reshape(b, m, r * c)
+        return plane_contract(idx, wt, d1, r * r)
 
     # chunk the point axis so the (B, Mc, R*R) one-hot operand stays
     # under the budget (at B8/M8192/R128 the unchunked operand is ~2 GB)
@@ -452,23 +637,32 @@ def _devox_bwd(bwd_dtype, impl, res, go):
     row_bytes = b * r * r * jnp.dtype(bwd_dtype).itemsize
     chunk = max(1, min(m, budget // max(row_bytes, 1)))
     if chunk >= m:
-        dgrid = _devox_contract(u, go, r, c, bwd_dtype)
-    else:
-        nchunks = -(-m // chunk)
-        pad = nchunks * chunk - m
-        # padded points carry zero cotangents -> contribute nothing
-        u_p = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
-        go_p = jnp.pad(go, ((0, 0), (0, pad), (0, 0)))
-        u_s = u_p.reshape(b, nchunks, chunk, 3).transpose(1, 0, 2, 3)
-        go_s = go_p.reshape(b, nchunks, chunk, c).transpose(1, 0, 2, 3)
+        return _devox_contract(u, go, r, c, bwd_dtype)
+    nchunks = -(-m // chunk)
+    pad = nchunks * chunk - m
+    # padded points carry zero cotangents -> contribute nothing
+    u_p = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+    go_p = jnp.pad(go, ((0, 0), (0, pad), (0, 0)))
+    u_s = u_p.reshape(b, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+    go_s = go_p.reshape(b, nchunks, chunk, c).transpose(1, 0, 2, 3)
 
-        def body(acc, xs):
-            uc, gc = xs
-            return acc + _devox_contract(uc, gc, r, c, bwd_dtype), None
+    def body(acc, xs):
+        uc, gc = xs
+        return acc + _devox_contract(uc, gc, r, c, bwd_dtype), None
 
-        dgrid, _ = jax.lax.scan(
-            body, _zeros_like_vma((b, r * r, r * c), go), (u_s, go_s)
-        )
+    dgrid, _ = jax.lax.scan(
+        body, _zeros_like_vma((b, r * r, r * c), go), (u_s, go_s)
+    )
+    return dgrid
+
+
+def _devox_bwd(bwd_dtype, impl, res, go):
+    points, mask, lo, scale, token, c = res
+    b, r = token.shape[0], token.shape[1]
+    gdtype = token.dtype
+    u = _trilinear_u(points, mask, lo, scale)
+    go = jnp.where(mask[..., None], go, 0.0)
+    dgrid = _devox_dgrid2(u, go, r, c, bwd_dtype)
     dgrid = dgrid.reshape(b, r, r, r, c).astype(gdtype)
     return (
         dgrid,
@@ -480,3 +674,66 @@ def _devox_bwd(bwd_dtype, impl, res, go):
 
 
 _devoxelize_trilinear_vjp.defvjp(_devox_fwd, _devox_bwd)
+
+
+def devoxelize_trilinear_grid2(
+    grid2: jax.Array,
+    points: jax.Array,
+    mask: jax.Array,
+    lo: jax.Array,
+    scale: jax.Array,
+    bwd_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """``devoxelize_trilinear`` on the flat (B, R*R, R*C) "grid2" layout.
+
+    Same math as the 5-D matmul formulation (it reshapes to this layout
+    internally anyway); taking and differentiating grid2 DIRECTLY lets a
+    producer that already emits it (``head1x1_grid2`` on the packed
+    Pallas core) skip the 5-D round-trip — XLA lays narrow-C NDHWC grids
+    out W-minor, so the 5-D hand-off costs a full-grid relayout copy in
+    the forward and a pad+relayout in the backward (~1 ms of the 64^3
+    step in the r3 xplane profile). Gradients flow to ``grid2`` only,
+    like ``devoxelize_trilinear``.
+    """
+    rr = grid2.shape[1]
+    r = math.isqrt(rr)
+    if r * r != rr or grid2.shape[2] % r:
+        raise ValueError(f"grid2 shape {grid2.shape} is not (B, R*R, R*C)")
+    return _devox_grid2_vjp(
+        grid2, points, mask, lo, scale, jnp.dtype(bwd_dtype)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _devox_grid2_vjp(grid2, points, mask, lo, scale, bwd_dtype):
+    r = math.isqrt(grid2.shape[1])
+    c = grid2.shape[2] // r
+    return _devox_matmul_on_grid2(
+        grid2, r, c, points, mask, lo, scale, bwd_dtype
+    )
+
+
+def _devox_grid2_fwd(grid2, points, mask, lo, scale, bwd_dtype):
+    out = _devox_grid2_vjp(grid2, points, mask, lo, scale, bwd_dtype)
+    token = jnp.zeros(grid2.shape[:2] + (0,), grid2.dtype)
+    return out, (points, mask, lo, scale, token, grid2.shape[2])
+
+
+def _devox_grid2_bwd(bwd_dtype, res, go):
+    points, mask, lo, scale, token, rc = res
+    b, rr = token.shape[0], token.shape[1]
+    r = math.isqrt(rr)
+    c = rc // r
+    u = _trilinear_u(points, mask, lo, scale)
+    go = jnp.where(mask[..., None], go, 0.0)
+    dgrid = _devox_dgrid2(u, go, r, c, bwd_dtype).astype(token.dtype)
+    return (
+        dgrid,
+        jnp.zeros_like(points),
+        None,
+        jnp.zeros_like(lo),
+        jnp.zeros_like(scale),
+    )
+
+
+_devox_grid2_vjp.defvjp(_devox_grid2_fwd, _devox_grid2_bwd)

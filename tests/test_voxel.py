@@ -353,3 +353,84 @@ def test_voxel_unet_devox_matmul_matches(small_events):
     np.testing.assert_allclose(
         np.asarray(l_m), np.asarray(l_g), atol=1e-4, rtol=1e-4
     )
+
+
+def test_voxelize_packed_matches_pad_pack(rng):
+    """voxelize_packed == pack_grid(pad(voxelize(impl='matmul') means
+    cast to bf16)) bit-for-bit — the packed fast path moves the same
+    f32-divided, bf16-cast means through 0/1 placement matmuls."""
+    from pcseg_tpu.ops.pallas.conv3d_block import pack_grid
+    from pcseg_tpu.ops.voxel import voxelize_packed
+
+    points, masks = _batch(rng, b=2, m=128, pad=32)
+    r, w0 = 16, 16
+    grid = voxelize(points, masks, r, impl="matmul")
+    cin = grid.features.shape[-1]
+    ref = jnp.pad(
+        grid.features.astype(jnp.bfloat16),
+        ((0, 0),) * 4 + ((0, w0 - cin),),
+    )
+    ref_p, meta = pack_grid(ref)
+    xp, lo, scale = voxelize_packed(points, masks, r, w0)
+    assert xp.shape == ref_p.shape and xp.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(ref_p))
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(grid.lo))
+    np.testing.assert_allclose(np.asarray(scale), np.asarray(grid.scale))
+
+
+def test_devoxelize_grid2_matches_5d(rng):
+    """devoxelize_trilinear_grid2 on grid.reshape(B, R*R, R*C) matches
+    the 5-D matmul formulation — values AND the grid cotangent."""
+    from pcseg_tpu.ops.voxel import devoxelize_trilinear_grid2
+
+    points, masks = _batch(rng, b=2, m=128, pad=32)
+    r, c = 16, 4
+    grid = voxelize(points, masks, r)
+    gf = jnp.asarray(
+        rng.normal(size=(2, r, r, r, c)), jnp.float32
+    )
+    grid2 = gf.reshape(2, r * r, r * c)
+
+    def f5(g):
+        out = devoxelize_trilinear(
+            g, points, masks, grid.lo, grid.scale,
+            bwd_dtype=jnp.bfloat16, impl="matmul",
+        )
+        return jnp.sum(out * out), out
+
+    def f2(g):
+        out = devoxelize_trilinear_grid2(
+            g, points, masks, grid.lo, grid.scale,
+            bwd_dtype=jnp.bfloat16,
+        )
+        return jnp.sum(out * out), out
+
+    (l5, o5), g5 = jax.value_and_grad(f5, has_aux=True)(gf)
+    (l2, o2), g2 = jax.value_and_grad(f2, has_aux=True)(grid2)
+    np.testing.assert_allclose(np.asarray(o5), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g5.reshape(2, r * r, r * c)), np.asarray(g2),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_head1x1_grid2_matches_packed(rng):
+    """head1x1_grid2 == head1x1_packed reshaped to (B, R*R, R*NC)."""
+    from pcseg_tpu.ops.pallas.conv3d_block import (
+        head1x1_grid2,
+        head1x1_packed,
+        pack_grid,
+    )
+
+    b, r, c, nc = 2, 16, 16, 4
+    x = jnp.asarray(rng.normal(size=(b, r, r, r, c)), jnp.bfloat16)
+    xp, meta = pack_grid(x)
+    w = jnp.asarray(rng.normal(size=(1, 1, 1, c, nc)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nc,)), jnp.float32)
+    y5 = head1x1_packed(xp, w, bias, meta, nc)
+    y2 = head1x1_grid2(xp, w, bias, meta, nc)
+    np.testing.assert_allclose(
+        np.asarray(y5.reshape(b, r * r, r * nc)), np.asarray(y2),
+        atol=1e-5, rtol=1e-5,
+    )
