@@ -126,10 +126,6 @@ def _voxelize_matmul_raw(flat, feats, r, dt):
     """
     b, m, c = feats.shape
     r3 = r * r * r
-    fz = flat // (r * r)                      # == r for masked points
-    fy = (flat // r) % r
-    fx = flat % r
-    iota = jnp.arange(r, dtype=flat.dtype)
     ext = jnp.concatenate(
         [feats, jnp.ones(feats.shape[:-1] + (1,), feats.dtype)], axis=-1
     )
@@ -137,21 +133,24 @@ def _voxelize_matmul_raw(flat, feats, r, dt):
 
     if _use_plane_kernels(dt, r):
         # fused path (R<=64: the (R^2, R*(C+1)) VMEM accumulator and the
-        # in-kernel one-hot tiles fit comfortably): the (B, M, R^2) zy one-hot is generated tile-by-
-        # tile in VMEM by the Pallas kernel instead of materializing in
-        # HBM (512 MB written + re-read at B8 x 8192 x R64 — the
-        # broadcast_multiply fusions in the r3 xplane profile). The
-        # small x/channel expansion (B, M, R*(C+1)) stays in XLA.
-        # TPU-only dispatch (cf. parallel/gp.py fused-core fallback): the
-        # Pallas HLO interpreter can't run under vma-typed shard_map, and
-        # the dryrun's CPU-mesh voxel leg reaches this through voxelize.
-        from pcseg_tpu.ops.pallas.onehot_contract import plane_contract
+        # in-kernel one-hot tiles fit comfortably): the kernel takes the
+        # flat voxel ids + feature rows directly and builds the zy
+        # one-hot AND the x/channel expansion tile-by-tile in VMEM —
+        # neither the (B, M, R^2) one-hot (512 MB at B8 x 8192 x R64)
+        # nor the (B, M, R*(C+1)) expansion nor the per-axis index
+        # arrays (the reshape.51xx/pad chain in the r3 xplane profile)
+        # touch HBM. TPU-only dispatch (cf. parallel/gp.py fused-core
+        # fallback): the Pallas HLO interpreter can't run under
+        # vma-typed shard_map, and the dryrun's CPU-mesh voxel leg
+        # reaches this through voxelize.
+        from pcseg_tpu.ops.pallas.onehot_contract import voxelize_contract
 
-        izy = (fz * r + fy).astype(jnp.int32)   # masked -> R^2 sentinel
-        wx1h = (fx[..., None] == iota).astype(dt)
-        d1 = (wx1h[..., :, None] * ext.astype(dt)[..., None, :]
-              ).reshape(b, m, r * (c + 1))
-        return plane_contract(izy[..., None], None, d1, r * r)
+        return voxelize_contract(flat.astype(jnp.int32), ext, r)
+
+    fz = flat // (r * r)                      # == r for masked points
+    fy = (flat // r) % r
+    fx = flat % r
+    iota = jnp.arange(r, dtype=flat.dtype)
 
     def contract(fz_c, fy_c, fx_c, ext_c):
         wz = (fz_c[..., None] == iota).astype(dt)          # (B, Mc, R)
@@ -404,30 +403,6 @@ def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
     return jnp.where(mask[..., None], out, 0.0)
 
 
-def _zy_taps(u, r):
-    """Trilinear (z, y) plane taps: (B, M, 4) flat zy ids + f32 weights.
-
-    Same clipping as ``_axis_weights``; duplicate taps at clipped edges
-    are summed in f32 inside the Pallas kernel (onehot_contract), which
-    matches the XLA formulation's per-axis sum-then-cast order."""
-    i0 = jnp.floor(u[..., :2])
-    frac = (u[..., :2] - i0).astype(jnp.float32)
-    i0 = i0.astype(jnp.int32)
-    t0 = jnp.clip(i0, 0, r - 1)
-    t1 = jnp.clip(i0 + 1, 0, r - 1)
-    tz = (t0[..., 0], t1[..., 0])
-    ty = (t0[..., 1], t1[..., 1])
-    wz = (1.0 - frac[..., 0], frac[..., 0])
-    wy = (1.0 - frac[..., 1], frac[..., 1])
-    idx = jnp.stack(
-        [tz[a] * r + ty[b_] for a in (0, 1) for b_ in (0, 1)], axis=-1
-    )
-    wt = jnp.stack(
-        [wz[a] * wy[b_] for a in (0, 1) for b_ in (0, 1)], axis=-1
-    )
-    return idx, wt
-
-
 def _devox_fwd_contract(u, grid2, r, c, dt):
     """One point-chunk's trilinear gather as matmuls: (B, Mc, C).
 
@@ -473,16 +448,16 @@ def _devox_matmul_on_grid2(grid2, r, c, points, mask, lo, scale, dt):
     grid2 = grid2.astype(dt)
 
     if _use_plane_kernels(dt, r):
-        # fused path (R<=64, see _voxelize_matmul_raw): the zy-plane tap matrix is built in VMEM by the
-        # Pallas kernel (no (B, M, R^2) HBM materialization); stage 2
-        # (the 2-tap x interpolation) stays a small XLA reduce
-        from pcseg_tpu.ops.pallas.onehot_contract import plane_gather
+        # fused path (R<=64, see _voxelize_matmul_raw): the kernel takes
+        # the continuous coords directly, builds the zy tap matrix in
+        # VMEM, and runs the 2-tap x interpolation in its epilogue — the
+        # (B, M, R*C) x-line (67 MB f32 at B8 x 8192 x R64/C4, plus a
+        # layout copy and the reduce, per the r3 xplane profile) never
+        # touches HBM and the output is the final (B, M, C), already
+        # masked.
+        from pcseg_tpu.ops.pallas.onehot_contract import trilinear_gather
 
-        idx, wt = _zy_taps(u, r)
-        t = plane_gather(idx, wt, grid2)               # (B, M, R*C) f32
-        wx = _axis_weights(u[..., 2], r)
-        out = jnp.sum(t.reshape(b, m, r, c) * wx[..., None], axis=2)
-        return jnp.where(mask[..., None], out, 0.0)
+        return trilinear_gather(u, mask, grid2)
 
     budget = _DEVOX_BWD_BUDGET_BYTES
     row_bytes = b * r * r * jnp.dtype(dt).itemsize
@@ -620,16 +595,14 @@ def _devox_dgrid2(u, go, r, c, bwd_dtype):
     only the final reshape/cast differs between them."""
     b, m = go.shape[:2]
     if _use_plane_kernels(bwd_dtype, r):
-        # fused path (R<=64, see _voxelize_matmul_raw): VMEM-built tap
-        # matrix (see onehot_contract); the (B, M, R*C) x/cotangent
-        # expansion stays in XLA
-        from pcseg_tpu.ops.pallas.onehot_contract import plane_contract
+        # fused path (R<=64, see _voxelize_matmul_raw): the kernel takes
+        # the continuous coords + point cotangents directly and builds
+        # both the zy tap matrix AND the (Mc, R*C) x/cotangent expansion
+        # in VMEM (the expansion was a 33 MB HBM operand at
+        # B8 x 8192 x R64/C4 in the r3 xplane profile)
+        from pcseg_tpu.ops.pallas.onehot_contract import trilinear_scatter
 
-        idx, wt = _zy_taps(u, r)
-        wx = _axis_weights(u[..., 2], r).astype(bwd_dtype)
-        d1 = (wx[..., :, None] * go.astype(bwd_dtype)[..., None, :]
-              ).reshape(b, m, r * c)
-        return plane_contract(idx, wt, d1, r * r)
+        return trilinear_scatter(u, go, r)
 
     # chunk the point axis so the (B, Mc, R*R) one-hot operand stays
     # under the budget (at B8/M8192/R128 the unchunked operand is ~2 GB)

@@ -1,9 +1,9 @@
-"""Direct parity tests for the fused one-hot plane kernels.
+"""Direct parity tests for the tap-fused one-hot plane kernels.
 
 ops/voxel.py dispatches to these only on real TPU (the Pallas HLO
 interpreter can't run under vma-typed shard_map), so the CPU suite
-exercises the kernels here explicitly in interpret mode against a
-dense numpy one-hot formulation.
+exercises the kernels here explicitly in interpret mode against dense
+numpy tap/one-hot formulations mirroring ops/voxel.py's XLA paths.
 """
 
 import jax.numpy as jnp
@@ -16,67 +16,125 @@ def rng():
     return np.random.default_rng(7)
 
 
-def _dense_a(idx, wt, zy):
-    """Dense (B, M, ZY) tap matrix: sum of one-hot taps, f32-accumulated
-    then bf16-rounded when weighted — the kernel's _build_a order."""
-    b, m, t = idx.shape
-    a = np.zeros((b, m, zy), np.float32)
-    for k in range(t):
-        hit = idx[..., k, None] == np.arange(zy)[None, None]
-        w = 1.0 if wt is None else wt[..., k, None].astype(np.float32)
-        a += np.where(hit, w, 0.0)
-    if wt is not None:
-        a = np.asarray(jnp.asarray(a, jnp.bfloat16), np.float32)
-    return a
+def _axis_taps_np(u1, r):
+    """Mirror of onehot_contract._axis_taps (== ops/voxel._axis_weights)."""
+    i0 = np.floor(u1)
+    frac = (u1 - i0).astype(np.float32)
+    i0 = i0.astype(np.int32)
+    t0 = np.clip(i0, 0, r - 1)
+    t1 = np.clip(i0 + 1, 0, r - 1)
+    return ((t0, 1.0 - frac), (t1, frac))
 
 
-def test_plane_contract_unit_weights(rng):
-    from pcseg_tpu.ops.pallas.onehot_contract import plane_contract
+def _zy_plane_np(u, r):
+    """(B, M, R^2) trilinear zy tap matrix, f32-accumulated duplicates
+    rounded to bf16 once — the kernel's _zy_plane order."""
+    b, m = u.shape[:2]
+    a = np.zeros((b, m, r * r), np.float32)
+    for iz, wz in _axis_taps_np(u[..., 0], r):
+        for iy, wy in _axis_taps_np(u[..., 1], r):
+            idx = iz * r + iy
+            np.put_along_axis(
+                a, idx[..., None],
+                np.take_along_axis(a, idx[..., None], axis=-1)
+                + (wz * wy)[..., None],
+                axis=-1,
+            )
+    return np.asarray(jnp.asarray(a, jnp.bfloat16), np.float32)
 
-    b, m, zy, n = 2, 700, 64, 48          # m % chunk != 0 -> pad path
-    idx = rng.integers(0, zy + 1, (b, m, 1)).astype(np.int32)  # incl. sentinel
-    d = jnp.asarray(rng.normal(size=(b, m, n)), jnp.bfloat16)
-    out = plane_contract(jnp.asarray(idx), None, d, zy, interpret=True)
-    a = _dense_a(idx, None, zy)
-    ref = np.einsum(
-        "bmz,bmn->bzn", a, np.asarray(d, np.float32), optimize=True
+
+def _xline_np(u1, r, c):
+    """(B, M, R*C) f32 x-interpolation line (duplicates accumulated)."""
+    b, m = u1.shape
+    w = np.zeros((b, m, r), np.float32)
+    for ix, wx in _axis_taps_np(u1, r):
+        np.put_along_axis(
+            w, ix[..., None],
+            np.take_along_axis(w, ix[..., None], axis=-1) + wx[..., None],
+            axis=-1,
+        )
+    return np.repeat(w, c, axis=-1)
+
+
+def test_voxelize_contract(rng):
+    from pcseg_tpu.ops.pallas.onehot_contract import voxelize_contract
+
+    b, m, r, c1 = 2, 700, 8, 3                # m % chunk != 0 -> pad path
+    flat = rng.integers(0, r**3 + 1, (b, m)).astype(np.int32)
+    ext = rng.normal(size=(b, m, c1)).astype(np.float32)
+    ext[flat == r**3] = 0.0                   # masked rows already zero
+    out = voxelize_contract(
+        jnp.asarray(flat), jnp.asarray(ext), r, interpret=True
     )
+    assert out.shape == (b, r * r, r * c1)
+    ref = np.zeros((b, r * r, r * c1), np.float32)
+    extb = np.asarray(jnp.asarray(ext, jnp.bfloat16), np.float32)
+    for bi in range(b):
+        for p in range(m):
+            f = flat[bi, p]
+            if f >= r**3:
+                continue
+            zy, x = f // r, f % r
+            ref[bi, zy, x * c1 : (x + 1) * c1] += extb[bi, p]
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
 
 
-def test_plane_contract_weighted_taps(rng):
-    from pcseg_tpu.ops.pallas.onehot_contract import plane_contract
+def test_trilinear_scatter(rng):
+    from pcseg_tpu.ops.pallas.onehot_contract import trilinear_scatter
 
-    b, m, zy, n, t = 2, 512, 36, 24, 4
-    idx = rng.integers(0, zy + 1, (b, m, t)).astype(np.int32)
-    # duplicate taps on purpose (clipped-edge semantics accumulate)
-    idx[:, :32, 1] = idx[:, :32, 0]
-    wt = rng.random((b, m, t)).astype(np.float32)
-    d = jnp.asarray(rng.normal(size=(b, m, n)), jnp.bfloat16)
-    out = plane_contract(
-        jnp.asarray(idx), jnp.asarray(wt), d, zy, interpret=True
+    b, m, r, c = 2, 600, 6, 4
+    # coords spanning outside [0, R-1] exercise the clipped duplicate taps
+    u = (rng.random((b, m, 3)) * (r + 1) - 1).astype(np.float32)
+    go = rng.normal(size=(b, m, c)).astype(np.float32)
+    out = trilinear_scatter(
+        jnp.asarray(u), jnp.asarray(go), r, interpret=True
     )
-    a = _dense_a(idx, wt, zy)
-    ref = np.einsum(
-        "bmz,bmn->bzn", a, np.asarray(d, np.float32), optimize=True
+    assert out.shape == (b, r * r, r * c)
+    a = _zy_plane_np(u, r)
+    d1 = np.asarray(
+        jnp.asarray(_xline_np(u[..., 2], r, c), jnp.bfloat16)
+        * jnp.asarray(np.tile(go, (1, 1, r)), jnp.bfloat16),
+        np.float32,
     )
+    ref = np.einsum("bmz,bmn->bzn", a, d1, optimize=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
 
 
-def test_plane_gather_matches_dense(rng):
-    from pcseg_tpu.ops.pallas.onehot_contract import plane_gather
+def test_trilinear_gather(rng):
+    from pcseg_tpu.ops.pallas.onehot_contract import trilinear_gather
 
-    b, m, zy, n, t = 2, 600, 49, 32, 4
-    idx = rng.integers(0, zy + 1, (b, m, t)).astype(np.int32)
-    wt = rng.random((b, m, t)).astype(np.float32)
-    g = jnp.asarray(rng.normal(size=(b, zy, n)), jnp.float32)
-    out = plane_gather(
-        jnp.asarray(idx), jnp.asarray(wt), g, interpret=True
+    b, m, r, c = 2, 520, 6, 4
+    u = (rng.random((b, m, 3)) * (r + 1) - 1).astype(np.float32)
+    mask = rng.random((b, m)) > 0.2
+    u[~mask] = 0.0                            # _trilinear_u pins masked
+    g2 = rng.normal(size=(b, r * r, r * c)).astype(np.float32)
+    out = trilinear_gather(
+        jnp.asarray(u), jnp.asarray(mask), jnp.asarray(g2), interpret=True
     )
-    assert out.shape == (b, m, n)
-    a = _dense_a(idx, wt, zy)
-    ref = np.einsum(
-        "bmz,bzn->bmn", a,
-        np.asarray(g.astype(jnp.bfloat16), np.float32), optimize=True,
-    )
+    assert out.shape == (b, m, c)
+    a = _zy_plane_np(u, r)
+    g2b = np.asarray(jnp.asarray(g2, jnp.bfloat16), np.float32)
+    t = np.einsum("bmz,bzn->bmn", a, g2b, optimize=True)
+    tw = t * _xline_np(u[..., 2], r, c)
+    ref = tw.reshape(b, m, r, c).sum(axis=2) * mask[..., None]
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
+
+
+def test_trilinear_roundtrip_matches_voxel_ops(rng):
+    """End-to-end: the kernels inside devoxelize_trilinear(impl='matmul')
+    agree with the XLA contraction path on the same inputs (forced via
+    interpret by calling the kernels directly is covered above; here we
+    check the ops/voxel XLA fallback math the kernels mirror)."""
+    from pcseg_tpu.ops.voxel import devoxelize_trilinear
+
+    b, m, r, c = 2, 128, 8, 3
+    grid = jnp.asarray(rng.normal(size=(b, r, r, r, c)), jnp.float32)
+    pts = jnp.asarray(rng.random((b, m, 3)) * 2 - 1, jnp.float32)
+    mask = jnp.asarray(rng.random((b, m)) > 0.1)
+    lo = jnp.full((b, 3), -1.0)
+    scale = jnp.full((b, 3), r / 2.0)
+    ref = devoxelize_trilinear(grid, pts, mask, lo, scale, impl="gather")
+    out = devoxelize_trilinear(grid, pts, mask, lo, scale, impl="matmul")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
