@@ -51,26 +51,30 @@ def profile_pointnet(steps):
     return _trace(run, state, steps)
 
 
-def profile_voxel(steps):
+def profile_voxel(steps, grid128=False):
     from pcseg_tpu.models.voxel_unet import VoxelUNet3d
     from pcseg_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
     from pcseg_tpu.train.optim import make_optimizer
     from pcseg_tpu.train.steps import create_train_state, make_train_step
 
     mesh = make_mesh(MeshSpec(data=len(jax.devices())))
+    if grid128:
+        b, m, grid, remat = 1, 16384, 128, True   # bench_128_step config
+    else:
+        b, m, grid, remat = (bench.VOX_BATCH, bench.VOX_POINTS,
+                             bench.VOX_GRID, False)
     model = VoxelUNet3d(
-        num_classes=bench.CLASSES, grid_size=bench.VOX_GRID,
+        num_classes=bench.CLASSES, grid_size=grid,
         width=bench.VOX_WIDTH, levels=3, compute_dtype="bfloat16",
-        conv_impl="fused",
+        conv_impl="fused", remat=remat,
     )
     tx = make_optimizer()
     state = create_train_state(model, jax.random.key(0), tx)
     train_step = make_train_step(model, tx, mesh, donate=True)
     rng = np.random.default_rng(0)
-    b = bench.VOX_BATCH
-    points = rng.normal(size=(b, bench.VOX_POINTS, bench.DIM))
-    labels = rng.integers(0, bench.CLASSES, size=(b, bench.VOX_POINTS))
-    masks = np.ones((b, bench.VOX_POINTS), bool)
+    points = rng.normal(size=(b, m, bench.DIM))
+    labels = rng.integers(0, bench.CLASSES, size=(b, m))
+    masks = np.ones((b, m), bool)
     batch = shard_batch(
         mesh,
         (jnp.asarray(points, jnp.float32), jnp.asarray(labels),
@@ -104,7 +108,12 @@ def _trace(run, state, steps):
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "pointnet"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    path = {"pointnet": profile_pointnet, "voxel": profile_voxel}[which](steps)
+    fns = {
+        "pointnet": profile_pointnet,
+        "voxel": profile_voxel,
+        "voxel128": lambda s: profile_voxel(s, grid128=True),
+    }
+    path = fns[which](steps)
     print_summary(path, top=60)
 
 

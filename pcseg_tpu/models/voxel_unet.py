@@ -169,7 +169,11 @@ class VoxelUNet3d:
         # fused core + matmul devox: hand the head output to devoxelize
         # in the flat grid2 layout — the 5-D (B, R, R, R, NC) hand-off
         # costs a full-grid relayout copy each way (head1x1_grid2 /
-        # devoxelize_trilinear_grid2 docstrings)
+        # devoxelize_trilinear_grid2 docstrings). Measured and rejected
+        # for the GATHER impl (128^3): grid2's (B, R^3, NC) row view is
+        # logically a bitcast but XLA relayouts the tiled (R^2, R*NC)
+        # form to (R^3, NC) anyway, and the narrow-row gathers from it
+        # run slower than from the 5-D grid — 29.6 -> 34.3 ms/step.
         use_grid2 = impl == "fused" and resolve_devoxelize_impl(
             self.devox_impl, self.grid_size, self.num_classes
         ) == "matmul"
@@ -184,7 +188,8 @@ class VoxelUNet3d:
         # full-precision grid gradients — ADVICE r2)
         if use_grid2:
             logits = devoxelize_trilinear_grid2(
-                voxel_logits, points, mask, lo, scale, bwd_dtype=dt
+                voxel_logits, points, mask, lo, scale, bwd_dtype=dt,
+                impl=self.devox_impl,
             )
         else:
             logits = devoxelize_trilinear(

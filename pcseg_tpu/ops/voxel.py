@@ -374,15 +374,11 @@ def _trilinear_u(points, mask, lo, scale):
     return jnp.where(mask[..., None], u, 0.0)
 
 
-def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
-    """Plain gather composition (XLA autodiff scatters in its VJP)."""
-    r = grid_feats.shape[1]
-    u = _trilinear_u(points, mask, lo, scale)
+def _devox_gather_on_flat(flat_grid, u, mask, r):
+    """8-tap trilinear gather from the flat (B, R^3, C) row view."""
     i0 = jnp.floor(u)
     frac = u - i0
     i0 = i0.astype(jnp.int32)
-
-    flat_grid = grid_feats.reshape(grid_feats.shape[0], r * r * r, -1)
 
     out = 0.0
     for dx in (0, 1):
@@ -401,6 +397,14 @@ def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
                 gathered = jax.vmap(lambda g, f: g[f])(flat_grid, flat)
                 out = out + gathered * w[..., None]
     return jnp.where(mask[..., None], out, 0.0)
+
+
+def _devoxelize_trilinear_ref(grid_feats, points, mask, lo, scale):
+    """Plain gather composition (XLA autodiff scatters in its VJP)."""
+    r = grid_feats.shape[1]
+    u = _trilinear_u(points, mask, lo, scale)
+    flat_grid = grid_feats.reshape(grid_feats.shape[0], r * r * r, -1)
+    return _devox_gather_on_flat(flat_grid, u, mask, r)
 
 
 def _devox_fwd_contract(u, grid2, r, c, dt):
@@ -656,43 +660,59 @@ def devoxelize_trilinear_grid2(
     lo: jax.Array,
     scale: jax.Array,
     bwd_dtype=jnp.bfloat16,
+    impl: str = "matmul",
 ) -> jax.Array:
     """``devoxelize_trilinear`` on the flat (B, R*R, R*C) "grid2" layout.
 
-    Same math as the 5-D matmul formulation (it reshapes to this layout
+    Same math as the 5-D formulations (they reshape to this layout
     internally anyway); taking and differentiating grid2 DIRECTLY lets a
     producer that already emits it (``head1x1_grid2`` on the packed
     Pallas core) skip the 5-D round-trip — XLA lays narrow-C NDHWC grids
     out W-minor, so the 5-D hand-off costs a full-grid relayout copy in
     the forward and a pad+relayout in the backward (~1 ms of the 64^3
-    step in the r3 xplane profile). Gradients flow to ``grid2`` only,
-    like ``devoxelize_trilinear``.
+    step and 1.45 ms of the 128^3 step in the r3 xplane profiles).
+    Gradients flow to ``grid2`` only, like ``devoxelize_trilinear``.
+
+    ``impl`` picks the forward like ``devoxelize_trilinear``: "gather"
+    runs the 8 per-tap row gathers on the ``(B, R^3, C)`` row view of
+    grid2 (a row-major bitcast — f32-exact), "matmul" the one-hot
+    contraction, "auto" the measured crossover. The backward is the
+    shared ``_devox_dgrid2`` contraction either way.
     """
     rr = grid2.shape[1]
     r = math.isqrt(rr)
     if r * r != rr or grid2.shape[2] % r:
         raise ValueError(f"grid2 shape {grid2.shape} is not (B, R*R, R*C)")
+    impl = resolve_devoxelize_impl(impl, r, grid2.shape[2] // r)
+    if impl not in ("gather", "matmul"):
+        raise ValueError(f"unknown devoxelize impl {impl!r}")
     return _devox_grid2_vjp(
-        grid2, points, mask, lo, scale, jnp.dtype(bwd_dtype)
+        grid2, points, mask, lo, scale, jnp.dtype(bwd_dtype), impl
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _devox_grid2_vjp(grid2, points, mask, lo, scale, bwd_dtype):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _devox_grid2_vjp(grid2, points, mask, lo, scale, bwd_dtype, impl):
     r = math.isqrt(grid2.shape[1])
     c = grid2.shape[2] // r
+    if impl == "gather":
+        b = grid2.shape[0]
+        u = _trilinear_u(points, mask, lo, scale)
+        return _devox_gather_on_flat(
+            grid2.reshape(b, r * r * r, c), u, mask, r
+        )
     return _devox_matmul_on_grid2(
         grid2, r, c, points, mask, lo, scale, bwd_dtype
     )
 
 
-def _devox_grid2_fwd(grid2, points, mask, lo, scale, bwd_dtype):
-    out = _devox_grid2_vjp(grid2, points, mask, lo, scale, bwd_dtype)
+def _devox_grid2_fwd(grid2, points, mask, lo, scale, bwd_dtype, impl):
+    out = _devox_grid2_vjp(grid2, points, mask, lo, scale, bwd_dtype, impl)
     token = jnp.zeros(grid2.shape[:2] + (0,), grid2.dtype)
     return out, (points, mask, lo, scale, token, grid2.shape[2])
 
 
-def _devox_grid2_bwd(bwd_dtype, res, go):
+def _devox_grid2_bwd(bwd_dtype, impl, res, go):
     points, mask, lo, scale, token, rc = res
     b, rr = token.shape[0], token.shape[1]
     r = math.isqrt(rr)

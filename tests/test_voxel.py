@@ -415,6 +415,46 @@ def test_devoxelize_grid2_matches_5d(rng):
     )
 
 
+def test_devoxelize_grid2_gather_impl(rng):
+    """impl='gather' on grid2 (the fused core's 128^3 path) matches the
+    5-D gather composition exactly in the forward, and shares the
+    contraction backward."""
+    from pcseg_tpu.ops.voxel import devoxelize_trilinear_grid2
+
+    points, masks = _batch(rng, b=2, m=128, pad=32)
+    r, c = 16, 4
+    grid = voxelize(points, masks, r)
+    gf = jnp.asarray(rng.normal(size=(2, r, r, r, c)), jnp.float32)
+    grid2 = gf.reshape(2, r * r, r * c)
+
+    ref = devoxelize_trilinear(
+        gf, points, masks, grid.lo, grid.scale, impl="gather"
+    )
+
+    def f2(g):
+        out = devoxelize_trilinear_grid2(
+            g, points, masks, grid.lo, grid.scale,
+            bwd_dtype=jnp.bfloat16, impl="gather",
+        )
+        return jnp.sum(out * out), out
+
+    def f2m(g):
+        out = devoxelize_trilinear_grid2(
+            g, points, masks, grid.lo, grid.scale,
+            bwd_dtype=jnp.bfloat16, impl="matmul",
+        )
+        return jnp.sum(out * out), out
+
+    (_, o2), g2 = jax.value_and_grad(f2, has_aux=True)(grid2)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    # backward is the shared contraction; cotangents differ only through
+    # the forward value entering sum(out*out)
+    (_, o2m), g2m = jax.value_and_grad(f2m, has_aux=True)(grid2)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2m),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_head1x1_grid2_matches_packed(rng):
     """head1x1_grid2 == head1x1_packed reshaped to (B, R*R, R*NC)."""
     from pcseg_tpu.ops.pallas.conv3d_block import (
