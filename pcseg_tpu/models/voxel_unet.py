@@ -219,14 +219,14 @@ class VoxelUNet3d:
         """
         from pcseg_tpu.ops.pallas.conv3d_block import (
             act_packed,
-            down2x_packed,
             fused_conv3x3_add_p,
             fused_conv3x3_p,
+            fused_down2x_p,
+            fused_up2x_p,
             head1x1_grid2,
             head1x1_packed,
             pack_grid,
             stats_scale_shift,
-            up2x_packed,
         )
 
         dt = jnp.bfloat16
@@ -285,18 +285,16 @@ class VoxelUNet3d:
             sc, sh = fold(st, f"enc{i}_b_gn", i)
             if i < self.levels - 1:
                 skips.append((xp, sc, sh, meta))
-                xp, meta, st = down2x_packed(
-                    act_packed(xp, sc, sh),
-                    p[f"down{i}"]["kernel"], p[f"down{i}"]["bias"], meta,
-                    want_stats=True,
+                xp, meta, st = fused_down2x_p(
+                    xp, p[f"down{i}"]["kernel"], p[f"down{i}"]["bias"],
+                    sc, sh, meta,
                 )
                 sc, sh = fold(st, f"down{i}_gn", i + 1)
         for i in range(self.levels - 2, -1, -1):
             wi = widths[i]
-            up_p, meta, st_u = up2x_packed(
-                act_packed(xp, sc, sh),
-                p[f"up{i}"]["kernel"], p[f"up{i}"]["bias"], meta,
-                want_stats=True,
+            up_p, meta, st_u = fused_up2x_p(
+                xp, p[f"up{i}"]["kernel"], p[f"up{i}"]["bias"],
+                sc, sh, meta,
             )
             sc_u, sh_u = fold(st_u, f"up{i}_gn", i)
             skip_p, sc_s, sh_s, meta = skips[i]

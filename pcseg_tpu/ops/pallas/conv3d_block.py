@@ -1067,6 +1067,398 @@ def up2x_packed(xp, w, bias, meta, want_stats=False):
     return yp, (2 * h2, u, c)
 
 
+# ---------------------------------------------------------------------------
+# fused stride-2 down / up Pallas kernels
+# ---------------------------------------------------------------------------
+#
+# Kernel versions of down2x_packed / up2x_packed with the previous
+# layer's folded-GN ReLU in the prologue and the next GroupNorm's
+# (sum, sumsq) in the epilogue — the XLA formulations cost a separate
+# full-grid act pass plus slice/stack/convert fusions around the four
+# tap matmuls (~1.3 ms of the 64^3 step, ~2.2 ms at 128^3 in the r3
+# xplane profiles: maximum_convert / slice_bitcast / pad_maximum /
+# add_convert). The y-parity select (down) and interleave (up) run on
+# u-row groups; u == 8 at EVERY level of the U-Net (down2x halves h and
+# doubles c, leaving u = rows/h fixed), so both are exactly one
+# (8, 128) sublane tile — Mosaic-native reshapes, no relayouts.
+# Stride-2 windows don't overlap: no halos, no read amplification.
+
+def _down_wd(w, c):
+    """(2,2,2,C,2C) -> (4*128, 128) lane-mapped tap matrix (bf16)."""
+    dmap = _stride2_lane_map(LANES // c)
+    return jnp.einsum("xij,zyxab->zyiajb", dmap, w).reshape(
+        4 * LANES, LANES
+    ).astype(jnp.bfloat16)
+
+
+def _down_wd_unpack(dwd, c, c2):
+    """Inverse of _down_wd: fold the 0/1 lane placement back."""
+    p = LANES // c
+    dmap = _stride2_lane_map(p)
+    dwd6 = dwd.reshape(2, 2, p, c, p // 2, c2)
+    return jnp.einsum("xij,zyiajb->zyxab", dmap, dwd6)
+
+
+def _up_wu(w, c):
+    """(2,2,2,C2,C) -> (4*128, 128) lane-mapped transposed-conv taps."""
+    dmap = _stride2_lane_map(LANES // c)
+    wflip = jnp.flip(w, axis=(0, 1, 2))
+    return jnp.einsum("xij,zyxab->zyjaib", dmap, wflip).reshape(
+        4 * LANES, LANES
+    ).astype(jnp.bfloat16)
+
+
+def _up_wu_unpack(dwu, c2, c):
+    p = LANES // c
+    dmap = _stride2_lane_map(p)
+    dwu6 = dwu.reshape(2, 2, p // 2, c2, p, c)
+    dwflip = jnp.einsum("xij,zyjaib->zyxab", dmap, dwu6)
+    return jnp.flip(dwflip, axis=(0, 1, 2))
+
+
+def _tap_t(wt):
+    """Per-tap transpose of a (4*128, 128) tap matrix."""
+    return wt.reshape(4, LANES, LANES).swapaxes(1, 2).reshape(
+        4 * LANES, LANES
+    )
+
+
+def _ilv(a, b_, u):
+    """Interleave u-row groups of two (rows2, 128) -> (2*rows2, 128)."""
+    h2 = a.shape[0] // u
+    a4 = a.reshape(h2, 1, u, a.shape[1])
+    b4 = b_.reshape(h2, 1, u, b_.shape[1])
+    return jnp.concatenate([a4, b4], axis=1).reshape(
+        2 * a.shape[0], a.shape[1]
+    )
+
+
+def _down2x_kernel(x_ref, scale_ref, shift_ref, wd_ref, bias_ref,
+                   y_ref, stats_ref, *, u):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        stats_ref[0] = jnp.zeros_like(stats_ref[0])
+
+    rows = x_ref.shape[2]
+    h2 = rows // (2 * u)
+    acc = jnp.zeros((rows // 2, LANES), jnp.float32)
+    for dz in (0, 1):
+        s = _prep_slab(x_ref[0, dz], scale_ref, shift_ref, True)
+        s4 = s.reshape(h2, 2, u, LANES)
+        for dy in (0, 1):
+            sel = s4[:, dy].reshape(rows // 2, LANES)
+            t = 2 * dz + dy
+            acc = acc + jnp.dot(
+                sel, wd_ref[t * LANES : (t + 1) * LANES],
+                preferred_element_type=jnp.float32,
+            )
+    yf = acc + bias_ref[0, 0]
+    y_ref[0, 0] = yf.astype(y_ref.dtype)
+    stats_ref[0] += jnp.stack([jnp.sum(yf, 0), jnp.sum(yf * yf, 0)])
+
+
+def _down2x_bwd_kernel(x_ref, gy_ref, y_ref, gs_ref, scale_ref, shift_ref,
+                       wdt_ref, dx_ref, dstats_ref, dwd_ref, dbias_ref,
+                       *, u):
+    j = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    def _():
+        dwd_ref[:] = jnp.zeros_like(dwd_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dstats_ref[0] = jnp.zeros_like(dstats_ref[0])
+
+    rows = x_ref.shape[2]
+    h2 = rows // (2 * u)
+    # stats-cotangent broadcast (cf. _run_bwd): g' = gy + gs1 + 2*gs2*y
+    ge = (gy_ref[0, 0].astype(jnp.float32)
+          + gs_ref[0, 0]
+          + 2.0 * gs_ref[0, 1] * y_ref[0, 0].astype(jnp.float32))
+    gyb = ge.astype(jnp.bfloat16)
+    dbias_ref[0] += jnp.sum(ge, axis=0)
+
+    st = jnp.zeros((2, LANES), jnp.float32)
+    for dz in (0, 1):
+        xs = x_ref[0, dz].astype(jnp.float32)
+        pre = xs * scale_ref[0, 0] + shift_ref[0, 0]
+        s4 = jnp.maximum(pre, 0.0).astype(jnp.bfloat16).reshape(
+            h2, 2, u, LANES
+        )
+        das = []
+        for dy in (0, 1):
+            t = 2 * dz + dy
+            das.append(jnp.dot(
+                gyb, wdt_ref[t * LANES : (t + 1) * LANES],
+                preferred_element_type=jnp.float32,
+            ))
+            dwd_ref[t * LANES : (t + 1) * LANES] += jax.lax.dot_general(
+                s4[:, dy].reshape(rows // 2, LANES), gyb,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        da = _ilv(das[0], das[1], u)
+        dam = jnp.where(pre > 0, da, 0.0)
+        dx_ref[0, dz] = (dam * scale_ref[0, 0]).astype(dx_ref.dtype)
+        st = st + jnp.stack([jnp.sum(dam * xs, 0), jnp.sum(dam, 0)])
+    dstats_ref[0] += st
+
+
+def _up2x_kernel(x_ref, scale_ref, shift_ref, wu_ref, bias_ref,
+                 y_ref, stats_ref, *, u):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        stats_ref[0] = jnp.zeros_like(stats_ref[0])
+
+    s = _prep_slab(x_ref[0, 0], scale_ref, shift_ref, True)
+    st = jnp.zeros((2, LANES), jnp.float32)
+    for dz in (0, 1):
+        parts = []
+        for dy in (0, 1):
+            t = 2 * dz + dy
+            yf = jnp.dot(
+                s, wu_ref[t * LANES : (t + 1) * LANES],
+                preferred_element_type=jnp.float32,
+            ) + bias_ref[0, 0]
+            st = st + jnp.stack([jnp.sum(yf, 0), jnp.sum(yf * yf, 0)])
+            parts.append(yf.astype(y_ref.dtype))
+        y_ref[0, dz] = _ilv(parts[0], parts[1], u)
+    stats_ref[0] += st
+
+
+def _up2x_bwd_kernel(x_ref, gy_ref, y_ref, gs_ref, scale_ref, shift_ref,
+                     wut_ref, dx_ref, dstats_ref, dwu_ref, dbias_ref,
+                     *, u):
+    j = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    def _():
+        dwu_ref[:] = jnp.zeros_like(dwu_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dstats_ref[0] = jnp.zeros_like(dstats_ref[0])
+
+    rows2 = x_ref.shape[2]
+    h2 = rows2 // u
+    xs = x_ref[0, 0].astype(jnp.float32)
+    pre = xs * scale_ref[0, 0] + shift_ref[0, 0]
+    s = jnp.maximum(pre, 0.0).astype(jnp.bfloat16)
+
+    da = jnp.zeros((rows2, LANES), jnp.float32)
+    db = jnp.zeros((LANES,), jnp.float32)
+    for dz in (0, 1):
+        ge = (gy_ref[0, dz].astype(jnp.float32)
+              + gs_ref[0, 0]
+              + 2.0 * gs_ref[0, 1] * y_ref[0, dz].astype(jnp.float32))
+        db = db + jnp.sum(ge, axis=0)
+        ge4 = ge.reshape(h2, 2, u, LANES)
+        for dy in (0, 1):
+            t = 2 * dz + dy
+            gsel = ge4[:, dy].reshape(rows2, LANES).astype(jnp.bfloat16)
+            da = da + jnp.dot(
+                gsel, wut_ref[t * LANES : (t + 1) * LANES],
+                preferred_element_type=jnp.float32,
+            )
+            dwu_ref[t * LANES : (t + 1) * LANES] += jax.lax.dot_general(
+                s, gsel, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    dam = jnp.where(pre > 0, da, 0.0)
+    dx_ref[0, 0] = (dam * scale_ref[0, 0]).astype(dx_ref.dtype)
+    dstats_ref[0] += jnp.stack([jnp.sum(dam * xs, 0), jnp.sum(dam, 0)])
+    dbias_ref[0] += db
+
+
+def _updown_common_specs(rows_x, nx, rows_y, ny):
+    """(x, scale, shift, w, bias) in_specs for the down/up calls.
+    ``nx``/``ny`` slabs per program on the x / y side."""
+    xspec = pl.BlockSpec((1, nx, rows_x, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 1, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1, LANES), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((1, ny, rows_y, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 2, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return xspec, bspec, cspec, wspec, yspec, sspec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _down2x_vjp(xp, w, bias, scale, shift, meta, interpret):
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    wd = _down_wd(w, c)
+    bias_lane = _bias_lane(bias, 2 * c).reshape(1, 1, LANES)
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
+    xspec, bspec, cspec, wspec, yspec, sspec = _updown_common_specs(
+        rows, 2, rows // 2, 1
+    )
+    return pl.pallas_call(
+        functools.partial(_down2x_kernel, u=u),
+        grid=(b, d // 2),
+        in_specs=[xspec, bspec, bspec, wspec, cspec],
+        out_specs=(yspec, sspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d // 2, rows // 2, LANES),
+                                 jnp.bfloat16, vma=vma),
+            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
+        ),
+        interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
+    )(xp, scale[:, None], shift[:, None], wd, bias_lane)
+
+
+def _down2x_fwd(xp, w, bias, scale, shift, meta, interpret):
+    yp, stats = _down2x_vjp(xp, w, bias, scale, shift, meta, interpret)
+    return (yp, stats), (xp, w, scale, shift, yp)
+
+
+def _down2x_bwd(meta, interpret, res, g):
+    xp, w, scale, shift, yp = res
+    gy, gstats = g
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    wdt = _tap_t(_down_wd(w, c))
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
+    xspec, bspec, cspec, wspec, yspec, sspec = _updown_common_specs(
+        rows, 2, rows // 2, 1
+    )
+    gsspec = pl.BlockSpec((1, 2, LANES), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    dx, dstats, dwd, dbias_lane = pl.pallas_call(
+        functools.partial(_down2x_bwd_kernel, u=u),
+        grid=(b, d // 2),
+        in_specs=[xspec, yspec, yspec, gsspec, bspec, bspec, wspec],
+        out_specs=(xspec, sspec, full((4 * LANES, LANES)),
+                   full((1, LANES))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((4 * LANES, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, LANES), jnp.float32, vma=vma),
+        ),
+        interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
+    )(xp, gy.astype(jnp.bfloat16), yp, gstats, scale[:, None],
+      shift[:, None], wdt)
+    c2 = 2 * c
+    dw = _down_wd_unpack(dwd, c, c2).astype(w.dtype)
+    dbias = jnp.sum(dbias_lane.reshape(LANES // c2, c2), axis=0)
+    return (dx, dw, dbias.astype(jnp.float32),
+            dstats[:, 0].astype(scale.dtype),
+            dstats[:, 1].astype(shift.dtype))
+
+
+_down2x_vjp.defvjp(_down2x_fwd, _down2x_bwd)
+
+
+def fused_down2x_p(xp, w, bias, scale, shift, meta, interpret=None):
+    """relu(xp*scale+shift) -> stride-2 k=2 conv -> +bias, one kernel.
+
+    Same params/semantics as ``down2x_packed(act_packed(xp, sc, sh), w,
+    bias, meta, want_stats=True)`` with the act pass and the stats fused
+    into the kernel. Returns (yp, meta2, stats)."""
+    h, u, c = meta
+    yp, stats = _down2x_vjp(xp, w, bias, scale, shift, (h, u, c), interpret)
+    return yp, (h // 2, u, 2 * c), stats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _up2x_vjp(xp, w, bias, scale, shift, meta, interpret):
+    h2, u, c2 = meta
+    c = c2 // 2
+    b, d2, rows2, _ = xp.shape
+    wu = _up_wu(w, c)
+    bias_lane = _bias_lane(bias, c).reshape(1, 1, LANES)
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
+    xspec, bspec, cspec, wspec, yspec, sspec = _updown_common_specs(
+        rows2, 1, 2 * rows2, 2
+    )
+    return pl.pallas_call(
+        functools.partial(_up2x_kernel, u=u),
+        grid=(b, d2),
+        in_specs=[xspec, bspec, bspec, wspec, cspec],
+        out_specs=(yspec, sspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 2 * d2, 2 * rows2, LANES),
+                                 jnp.bfloat16, vma=vma),
+            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
+        ),
+        interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
+    )(xp, scale[:, None], shift[:, None], wu, bias_lane)
+
+
+def _up2x_fwd(xp, w, bias, scale, shift, meta, interpret):
+    yp, stats = _up2x_vjp(xp, w, bias, scale, shift, meta, interpret)
+    return (yp, stats), (xp, w, scale, shift, yp)
+
+
+def _up2x_bwd(meta, interpret, res, g):
+    xp, w, scale, shift, yp = res
+    gy, gstats = g
+    h2, u, c2 = meta
+    c = c2 // 2
+    b, d2, rows2, _ = xp.shape
+    wut = _tap_t(_up_wu(w, c))
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
+    xspec, bspec, cspec, wspec, yspec, sspec = _updown_common_specs(
+        rows2, 1, 2 * rows2, 2
+    )
+    gsspec = pl.BlockSpec((1, 2, LANES), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    dx, dstats, dwu, dbias_lane = pl.pallas_call(
+        functools.partial(_up2x_bwd_kernel, u=u),
+        grid=(b, d2),
+        in_specs=[xspec, yspec, yspec, gsspec, bspec, bspec, wspec],
+        out_specs=(xspec, sspec, full((4 * LANES, LANES)),
+                   full((1, LANES))),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d2, rows2, LANES), jnp.bfloat16,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((4 * LANES, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, LANES), jnp.float32, vma=vma),
+        ),
+        interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
+    )(xp, gy.astype(jnp.bfloat16), yp, gstats, scale[:, None],
+      shift[:, None], wut)
+    dw = _up_wu_unpack(dwu, c2, c).astype(w.dtype)
+    dbias = jnp.sum(dbias_lane.reshape(LANES // c, c), axis=0)
+    return (dx, dw, dbias.astype(jnp.float32),
+            dstats[:, 0].astype(scale.dtype),
+            dstats[:, 1].astype(shift.dtype))
+
+
+_up2x_vjp.defvjp(_up2x_fwd, _up2x_bwd)
+
+
+def fused_up2x_p(xp, w, bias, scale, shift, meta, interpret=None):
+    """relu(xp*scale+shift) -> stride-2 k=2 TRANSPOSED conv -> +bias.
+
+    Same params/semantics as ``up2x_packed(act_packed(xp, sc, sh), w,
+    bias, meta, want_stats=True)`` fused into one kernel. Returns
+    (yp, meta2, stats)."""
+    h2, u, c2 = meta
+    yp, stats = _up2x_vjp(xp, w, bias, scale, shift, (h2, u, c2), interpret)
+    return yp, (2 * h2, u, c2 // 2), stats
+
+
 def head1x1_packed(xp, w, bias, meta, num_classes):
     """1x1 conv on the packed form, channel-padded: returns f32
     (B, D, H, W, num_classes)."""

@@ -289,6 +289,97 @@ def test_packed_down_up_head_match_xla():
     )
 
 
+def test_fused_down_up_match_packed_composition():
+    """fused_down2x_p / fused_up2x_p == act_packed + down2x/up2x_packed
+    (values, stats, and ALL gradients incl. the stats cotangent)."""
+    from pcseg_tpu.ops.conv3d import conv3d_init
+    from pcseg_tpu.ops.pallas.conv3d_block import (
+        act_packed,
+        down2x_packed,
+        fused_down2x_p,
+        fused_up2x_p,
+        pack_grid,
+        up2x_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    b, r, c = 2, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, r, r, r, c)), jnp.bfloat16)
+    xp, meta = pack_grid(x)
+    scale = jnp.asarray(rng.normal(size=(b, 128)) * 0.3 + 1.0, jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(b, 128)) * 0.1, jnp.float32)
+    pd = conv3d_init(jax.random.key(0), 2, c, 2 * c)
+
+    def ref_down(xp, w, bias, sc, sh):
+        yp, m2, st = down2x_packed(
+            act_packed(xp, sc, sh), w, bias, meta, want_stats=True
+        )
+        # exercise y AND the stats cotangent
+        return (jnp.sum(yp.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(st)), (yp, m2, st))
+
+    def fused_down(xp, w, bias, sc, sh):
+        yp, m2, st = fused_down2x_p(xp, w, bias, sc, sh, meta,
+                                    interpret=True)
+        return (jnp.sum(yp.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(st)), (yp, m2, st))
+
+    args = (xp, pd["kernel"], pd["bias"], scale, shift)
+    (_, (y_r, m_r, st_r)), g_r = jax.value_and_grad(
+        ref_down, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+    (_, (y_f, m_f, st_f)), g_f = jax.value_and_grad(
+        fused_down, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+    assert m_f == m_r
+    np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                               np.asarray(y_r, np.float32),
+                               atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(st_f), np.asarray(st_r),
+                               atol=0.5, rtol=0.02)
+    for a, b_, nm in zip(g_f, g_r, ["dx", "dw", "dbias", "dscale",
+                                    "dshift"]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=0.5, rtol=0.05, err_msg=f"down {nm}",
+        )
+
+    # ---- up ----
+    x2 = jnp.asarray(rng.normal(size=(b, r // 2, r // 2, r // 2, 2 * c)),
+                     jnp.bfloat16)
+    xp2, meta2 = pack_grid(x2)
+    pu = conv3d_init(jax.random.key(1), 2, 2 * c, c)
+
+    def ref_up(xp, w, bias, sc, sh):
+        yp, m2, st = up2x_packed(
+            act_packed(xp, sc, sh), w, bias, meta2, want_stats=True
+        )
+        return (jnp.sum(yp.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(st)), (yp, m2, st))
+
+    def fused_up(xp, w, bias, sc, sh):
+        yp, m2, st = fused_up2x_p(xp, w, bias, sc, sh, meta2,
+                                  interpret=True)
+        return (jnp.sum(yp.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(st)), (yp, m2, st))
+
+    args = (xp2, pu["kernel"], pu["bias"], scale, shift)
+    (_, (y_r, m_r, st_r)), g_r = jax.value_and_grad(
+        ref_up, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+    (_, (y_f, m_f, st_f)), g_f = jax.value_and_grad(
+        fused_up, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+    assert m_f == m_r
+    np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                               np.asarray(y_r, np.float32),
+                               atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(st_f), np.asarray(st_r),
+                               atol=0.5, rtol=0.02)
+    for a, b_, nm in zip(g_f, g_r, ["dx", "dw", "dbias", "dscale",
+                                    "dshift"]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=0.5, rtol=0.05, err_msg=f"up {nm}",
+        )
+
+
 def test_stats_skip_edges():
     """Grid-parallel stats contract: with ``stats_skip_edges`` the
     in-kernel (sum, sumsq) excludes the first/last d slab (dropped by the
