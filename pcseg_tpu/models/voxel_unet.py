@@ -222,8 +222,8 @@ class VoxelUNet3d:
             fused_conv3x3_add_p,
             fused_conv3x3_p,
             fused_down2x_p,
+            fused_head_grid2,
             fused_up2x_p,
-            head1x1_grid2,
             head1x1_packed,
             pack_grid,
             stats_scale_shift,
@@ -313,8 +313,14 @@ class VoxelUNet3d:
                 sc, sh, meta,
             )
             sc, sh = fold(st, f"dec{i}_b_gn", i)
-        head = head1x1_grid2 if grid2_out else head1x1_packed
-        return head(
+        if grid2_out:
+            # act + head in one kernel, bf16 grid2 out (devoxelize
+            # rounds its grid2 operand to bf16 either way)
+            return fused_head_grid2(
+                xp, p["head"]["kernel"], p["head"]["bias"], sc, sh,
+                meta, self.num_classes,
+            )
+        return head1x1_packed(
             act_packed(xp, sc, sh), p["head"]["kernel"], p["head"]["bias"],
             meta, self.num_classes,
         )

@@ -1459,6 +1459,175 @@ def fused_up2x_p(xp, w, bias, scale, shift, meta, interpret=None):
     return yp, (2 * h2, u, c2 // 2), stats
 
 
+# ---------------------------------------------------------------------------
+# fused 1x1 head kernel (act prologue + lane-mapped head matmul)
+# ---------------------------------------------------------------------------
+
+def _head_wh(w, c, nc):
+    """(1,1,1,C,NC) (or (C,NC)) -> (128, p*nc) block-diagonal lane map."""
+    k = w.reshape(w.shape[-2], w.shape[-1])
+    p = LANES // c
+    return jnp.einsum(
+        "ij,ab->iajb", jnp.eye(p, dtype=k.dtype), k
+    ).reshape(LANES, p * nc).astype(jnp.bfloat16)
+
+
+def _head_kernel(x_ref, scale_ref, shift_ref, wh_ref, bias_ref, y_ref,
+                 *, kd):
+    for k in range(kd):
+        s = _prep_slab(x_ref[0, k], scale_ref, shift_ref, True)
+        yf = jnp.dot(
+            s, wh_ref[:], preferred_element_type=jnp.float32
+        ) + bias_ref[0, 0]
+        y_ref[0, k] = yf.astype(y_ref.dtype)
+
+
+def _head_bwd_kernel(x_ref, gy_ref, scale_ref, shift_ref, wht_ref,
+                     dx_ref, dstats_ref, dwh_ref, dbias_ref, *, kd):
+    j = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    def _():
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dstats_ref[0] = jnp.zeros_like(dstats_ref[0])
+
+    st = jnp.zeros((2, LANES), jnp.float32)
+    db = None
+    for k in range(kd):
+        gy = gy_ref[0, k]                               # (rows, p*nc) bf16
+        xs = x_ref[0, k].astype(jnp.float32)
+        pre = xs * scale_ref[0, 0] + shift_ref[0, 0]
+        s = jnp.maximum(pre, 0.0).astype(jnp.bfloat16)
+        da = jnp.dot(gy, wht_ref[:], preferred_element_type=jnp.float32)
+        dam = jnp.where(pre > 0, da, 0.0)
+        dx_ref[0, k] = (dam * scale_ref[0, 0]).astype(dx_ref.dtype)
+        st = st + jnp.stack([jnp.sum(dam * xs, 0), jnp.sum(dam, 0)])
+        dwh_ref[:] += jax.lax.dot_general(
+            s, gy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gsum = jnp.sum(gy.astype(jnp.float32), axis=0)
+        db = gsum if db is None else db + gsum
+    dstats_ref[0] += st
+    dbias_ref[0] += db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _head_vjp(xp, w, bias, scale, shift, meta, nc, interpret):
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    p = LANES // c
+    wh = _head_wh(w, c, nc)
+    bias_lane = jnp.tile(bias.astype(jnp.float32), p).reshape(1, 1, p * nc)
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
+    kd = _pick_kd(d, rows)
+    return pl.pallas_call(
+        functools.partial(_head_kernel, kd=kd),
+        grid=(b, d // kd),
+        in_specs=[
+            pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p * nc), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kd, rows, p * nc),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d, rows, p * nc), jnp.bfloat16,
+                                       vma=vma),
+        interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
+    )(xp, scale[:, None], shift[:, None], wh, bias_lane)
+
+
+def _head_fwd(xp, w, bias, scale, shift, meta, nc, interpret):
+    y = _head_vjp(xp, w, bias, scale, shift, meta, nc, interpret)
+    return y, (xp, w, scale, shift)
+
+
+def _head_bwd(meta, nc, interpret, res, gy):
+    xp, w, scale, shift = res
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    p = LANES // c
+    wht = _head_wh(w, c, nc).T
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    kd = _pick_kd(d, rows)
+    dx, dstats, dwh, dbias_lane = pl.pallas_call(
+        functools.partial(_head_bwd_kernel, kd=kd),
+        grid=(b, d // kd),
+        in_specs=[
+            pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd, rows, p * nc), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, kd, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((LANES, p * nc)),
+            full((1, p * nc)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d, rows, LANES), jnp.bfloat16,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((b, 2, LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((LANES, p * nc), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, p * nc), jnp.float32, vma=vma),
+        ),
+        interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
+    )(xp, gy.astype(jnp.bfloat16), scale[:, None], shift[:, None],
+      wht.astype(jnp.bfloat16))
+    dk = jnp.einsum(
+        "ij,iajb->ab", jnp.eye(p, dtype=dwh.dtype),
+        dwh.reshape(p, c, p, nc),
+    )
+    dw = dk.reshape(w.shape).astype(w.dtype)
+    dbias = jnp.sum(dbias_lane.reshape(p, nc), axis=0)
+    return (dx, dw, dbias.astype(jnp.float32),
+            dstats[:, 0].astype(scale.dtype),
+            dstats[:, 1].astype(shift.dtype))
+
+
+_head_vjp.defvjp(_head_fwd, _head_bwd)
+
+
+def fused_head_grid2(xp, w, bias, scale, shift, meta, num_classes,
+                     interpret=None):
+    """relu(xp*scale+shift) -> 1x1 head -> bf16 grid2, one kernel.
+
+    Fused-act version of ``head1x1_grid2`` (same column placement; the
+    trailing reshape stays a row-major bitcast because the kernel's
+    (B, D, rows, P*NC) output is row-major, unlike the XLA dot's
+    c-second layout which forced a relayout copy). Output is bf16 —
+    devoxelize rounds its grid2 operand to bf16 either way."""
+    h, u, c = meta
+    b, d, rows, _ = xp.shape
+    y = _head_vjp(xp, w, bias, scale, shift, (h, u, c), num_classes,
+                  interpret)
+    return y.reshape(b, d * h, u * (LANES // c) * num_classes)
+
+
 def head1x1_packed(xp, w, bias, meta, num_classes):
     """1x1 conv on the packed form, channel-padded: returns f32
     (B, D, H, W, num_classes)."""

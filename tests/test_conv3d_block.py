@@ -380,6 +380,49 @@ def test_fused_down_up_match_packed_composition():
         )
 
 
+def test_fused_head_grid2_matches_composition():
+    """fused_head_grid2 == head1x1_grid2(act_packed(...)) to bf16
+    rounding, incl. all gradients."""
+    from pcseg_tpu.ops.conv3d import conv3d_init
+    from pcseg_tpu.ops.pallas.conv3d_block import (
+        act_packed,
+        fused_head_grid2,
+        head1x1_grid2,
+        pack_grid,
+    )
+
+    rng = np.random.default_rng(12)
+    b, r, c, nc = 2, 8, 16, 4
+    x = jnp.asarray(rng.normal(size=(b, r, r, r, c)), jnp.bfloat16)
+    xp, meta = pack_grid(x)
+    scale = jnp.asarray(rng.normal(size=(b, 128)) * 0.3 + 1.0, jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(b, 128)) * 0.1, jnp.float32)
+    ph = conv3d_init(jax.random.key(3), 1, c, nc)
+
+    def ref(xp, w, bias, sc, sh):
+        y = head1x1_grid2(act_packed(xp, sc, sh), w, bias, meta, nc)
+        return jnp.sum(jnp.sin(y)), y
+
+    def fused(xp, w, bias, sc, sh):
+        y = fused_head_grid2(xp, w, bias, sc, sh, meta, nc,
+                             interpret=True).astype(jnp.float32)
+        return jnp.sum(jnp.sin(y)), y
+
+    args = (xp, ph["kernel"], ph["bias"], scale, shift)
+    (_, y_r), g_r = jax.value_and_grad(
+        ref, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+    (_, y_f), g_f = jax.value_and_grad(
+        fused, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               atol=0.05, rtol=0.05)
+    for a, b_, nm in zip(g_f, g_r, ["dx", "dw", "dbias", "dscale",
+                                    "dshift"]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=0.3, rtol=0.05, err_msg=f"head {nm}",
+        )
+
+
 def test_stats_skip_edges():
     """Grid-parallel stats contract: with ``stats_skip_edges`` the
     in-kernel (sum, sumsq) excludes the first/last d slab (dropped by the
