@@ -8,3 +8,8 @@ from pcseg_tpu.parallel.mesh import (
     initialize_distributed,
 )
 from pcseg_tpu.parallel.sp import make_sp_forward
+from pcseg_tpu.parallel.tp import (
+    create_tp_train_state,
+    make_tp_forward,
+    make_tp_train_step,
+)
