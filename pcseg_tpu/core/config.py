@@ -111,8 +111,24 @@ class TrainConfig:
     save_latest_every: int = 1
     # per-step progress logging (0 = off; each log syncs the device)
     log_every_steps: int = 0
-    # Parallelism: number of devices on the mesh 'data' axis (0 = all).
+    # Parallelism: number of devices on the mesh 'data' axis (0 = all
+    # remaining after the model axis).
     data_parallel: int = 0
+    # Mesh 'model' axis size (1 = no model parallelism).
+    model_parallel: int = 1
+    # Training strategy over the (data, model) mesh:
+    #   "dp" — batch over 'data' only (the reference's DataParallel);
+    #   "sp" — + point axis over 'model' (pointnet_seg; events past one
+    #          chip's memory; parallel/sp.py);
+    #   "tp" — + the wide layers Megatron column/row-sharded over 'model'
+    #          with sharded param/optimizer state (pointnet_seg;
+    #          parallel/tp.py);
+    #   "gp" — + the voxel grid depth-sharded over 'model' (voxel_unet3d;
+    #          grids past one chip's HBM; parallel/gp.py). Validation
+    #          still evaluates replicated per data-shard — for grids that
+    #          genuinely exceed one chip, run eval through
+    #          parallel.gp.make_gp_forward.
+    parallelism: str = "dp"
     # Multi-host (DCN) bring-up: a non-empty coordinator address (e.g.
     # "10.0.0.1:8476") makes train_model call jax.distributed.initialize
     # before any device query, so the mesh spans every host's chips and

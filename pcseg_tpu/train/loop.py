@@ -70,6 +70,57 @@ def split_indices(n: int, val_fraction: float, seed: int):
     return perm[:n_train], perm[n_train:]
 
 
+def _make_strategy_train_step(strategy, model, optimizer, mesh, sync_bn):
+    """Build the train step for ``train.parallelism`` (core/config.py).
+
+    Every strategy shares the step signature ``step(state, batch, lr,
+    dropout_key, class_weights) -> (state, metrics)``, so the epoch loop
+    is strategy-agnostic. Family guards fail fast: SP/TP are PointNet
+    mechanisms, GP is a voxel-grid mechanism.
+    """
+    if strategy == "dp":
+        return make_train_step(model, optimizer, mesh, sync_batchnorm=sync_bn)
+    if strategy == "sp":
+        if not isinstance(model, PointNetSeg):
+            raise ValueError(
+                "train.parallelism='sp' shards the point axis and needs "
+                f"model.name='pointnet_seg', got {type(model).__name__}"
+            )
+        from pcseg_tpu.parallel.sp import make_sp_train_step
+
+        return make_sp_train_step(
+            model, optimizer, mesh, sync_batchnorm=sync_bn
+        )
+    if strategy == "tp":
+        if not isinstance(model, PointNetSeg):
+            raise ValueError(
+                "train.parallelism='tp' shards the wide PointNet layers "
+                f"and needs model.name='pointnet_seg', got "
+                f"{type(model).__name__}"
+            )
+        from pcseg_tpu.parallel.tp import make_tp_train_step
+
+        return make_tp_train_step(
+            model, optimizer, mesh, sync_batchnorm=sync_bn
+        )
+    if strategy == "gp":
+        from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+        if not isinstance(model, VoxelUNet3d):
+            raise ValueError(
+                "train.parallelism='gp' depth-shards the voxel grid and "
+                f"needs model.name='voxel_unet3d', got "
+                f"{type(model).__name__}"
+            )
+        from pcseg_tpu.parallel.gp import make_gp_train_step
+
+        return make_gp_train_step(model, mesh, optimizer)
+    raise ValueError(
+        f"unknown train.parallelism {strategy!r}; "
+        "expected one of 'dp', 'sp', 'tp', 'gp'"
+    )
+
+
 def _run_epoch_train(
     train_step, batcher, state, lr, cw, root, epoch, log, log_every=0
 ):
@@ -173,7 +224,9 @@ def train_model(
 
     # --- model/optim/mesh (pcs.py:205-218)
     if mesh is None:
-        mesh = make_mesh(MeshSpec(data=t_cfg.data_parallel or 0))
+        mesh = make_mesh(MeshSpec(
+            data=t_cfg.data_parallel or 0, model=t_cfg.model_parallel,
+        ))
     from pcseg_tpu.models.factory import build_model
 
     model = build_model(m_cfg, num_classes)
@@ -194,9 +247,22 @@ def train_model(
         log(f"resumed from {resume_from} at epoch {start_epoch}")
 
     cw = jnp.asarray(class_weights)
-    train_step = make_train_step(
-        model, optimizer, mesh, sync_batchnorm=t_cfg.sync_batchnorm
+    train_step = _make_strategy_train_step(
+        t_cfg.parallelism, model, optimizer, mesh, t_cfg.sync_batchnorm
     )
+    if t_cfg.parallelism == "tp":
+        # place params/optimizer state on their Megatron shardings (the
+        # wide layers live split over the model axis at rest); also
+        # re-places a resumed (host-replicated) state
+        from jax.sharding import NamedSharding
+
+        from pcseg_tpu.parallel.tp import tp_state_specs
+
+        specs = tp_state_specs(model, optimizer)
+        state = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            state, specs,
+        )
     eval_step = make_eval_step(model, mesh, num_classes)
 
     # Background prefetch threads keep `prefetch_depth` batches read,
