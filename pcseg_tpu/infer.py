@@ -61,6 +61,7 @@ class Predictor:
         # bucket padding cannot influence predictions — matching the
         # reference's UNPADDED inference_example (pcs.py:448) on identical
         # weights.
+        self._returns_overflow = False
         if fold and isinstance(self.model, PointNetSeg):
             from pcseg_tpu.models.pointnet import pointnet_apply_folded
             from pcseg_tpu.ops.fold import fold_pointnet
@@ -80,19 +81,27 @@ class Predictor:
                 serve_model = dataclasses.replace(
                     serve_model, mask_norm_and_pool=True
                 )
-            self._forward = jax.jit(
-                lambda v, p, m: serve_model.apply(v, p, train=False, mask=m)
-            )
+            if hasattr(serve_model, "overflow_counts"):
+                # sparse family: one forward returns (logits, dropped) —
+                # the capacity count rides the voxelize the forward
+                # already did instead of a second jitted pass
+                self._forward = jax.jit(
+                    lambda v, p, m: serve_model.apply(
+                        v, p, train=False, mask=m, return_overflow=True
+                    )
+                )
+                self._returns_overflow = True
+            else:
+                self._forward = jax.jit(
+                    lambda v, p, m: serve_model.apply(
+                        v, p, train=False, mask=m
+                    )
+                )
         # Sparse-family capacity check: events whose occupied sites/tiles
         # exceed the model's static capacity get zero logits for the
         # overflowed voxels — warn (or raise, strict_capacity=True)
         # instead of silently mispredicting.
         self.strict_capacity = strict_capacity
-        if hasattr(self.model, "overflow_counts"):
-            om = self.model
-            self._overflow = jax.jit(lambda p, m: om.overflow_counts(p, m))
-        else:
-            self._overflow = None
         # Data-axis serving: with a mesh, batched forwards shard the
         # batch over the 'data' axis — the TPU equivalent of the
         # reference wrapping inference in DataParallel (pcs.py:412-420).
@@ -113,10 +122,12 @@ class Predictor:
         else:
             self._n_data = 1
 
-    def _check_capacity(self, pts, msk) -> int:
-        if self._overflow is None:
+    def _check_capacity(self, dropped_counts) -> int:
+        """Warn/raise on nonzero dropped-capacity counts (from the
+        forward's ``return_overflow`` output)."""
+        if dropped_counts is None:
             return 0
-        dropped = int(np.asarray(self._overflow(pts, msk)).sum())
+        dropped = int(np.asarray(dropped_counts).sum())
         if dropped:
             msg = (
                 f"capacity overflow: {dropped} occupied sites/tiles beyond "
@@ -172,7 +183,9 @@ class Predictor:
                                  feature_dim=self.input_dim)
         pts, msk = jnp.asarray(pts), jnp.asarray(msk)
         out = self._forward(self.variables, pts, msk)
-        self._check_capacity(pts, msk)
+        if self._returns_overflow:
+            out, dropped = out
+            self._check_capacity(dropped)
         return np.asarray(out)[0, :n]
 
     def predict(self, points: np.ndarray) -> np.ndarray:
@@ -213,8 +226,11 @@ class Predictor:
             if self.mesh is not None:
                 pts = jax.device_put(pts, self._batch_sharding)
                 msk = jax.device_put(msk, self._batch_sharding)
-            logits = np.asarray(self._forward(self.variables, pts, msk))
-            self._check_capacity(pts, msk)
+            fwd = self._forward(self.variables, pts, msk)
+            if self._returns_overflow:
+                fwd, dropped = fwd
+                self._check_capacity(dropped)
+            logits = np.asarray(fwd)
             for j, i in enumerate(idx):
                 n = events[i].shape[0]
                 out[i] = np.argmax(logits[j, :n], axis=-1)

@@ -152,6 +152,14 @@ class PointNetSeg:
                     "statistics; bn_stats='fused' falls back to the XLA "
                     "path (single-pass stats) for this configuration"
                 )
+            elif (jax.default_backend() == "tpu"
+                  and points.shape[1] % 8 != 0):
+                _warn_fused_fallback(
+                    "the fused kernels tile the point axis in multiples "
+                    f"of 8; M={points.shape[1]} falls back to the XLA "
+                    "path (pick bucket sizes that are multiples of 8 to "
+                    "stay fused)"
+                )
             elif jax.default_backend() == "tpu":
                 # whole-chain fused Pallas path (models/pointnet_fused.py)
                 from pcseg_tpu.models.pointnet_fused import (

@@ -69,7 +69,17 @@ def _pick_tile(
             continue
         if n % t == 0 and (rows_per_batch is None or rows_per_batch % t == 0):
             return t
-    return 8
+    # No silent fallback: the CE epilogue kernel (and the row-bias pool
+    # trick when rows_per_batch is set) REQUIRE the tile to divide the row
+    # count — an out-of-bounds final tile would read garbage rows whose
+    # labels can pass the `lab >= 0` valid test and silently corrupt the
+    # loss. Callers (pointnet.py apply / train steps) route indivisible
+    # shapes to the XLA path instead.
+    raise ValueError(
+        f"fused PointNet path needs the point count per batch row to be "
+        f"a multiple of 8 (got n={n}, rows_per_batch={rows_per_batch}); "
+        f"use bucket sizes that are multiples of 8, or bn_stats='fast'"
+    )
 
 
 def _stats_to_norm(s1, s2, n):

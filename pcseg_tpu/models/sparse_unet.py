@@ -113,7 +113,12 @@ class SparseVoxelNet:
         mask: Optional[jax.Array] = None,
         dropout_key: Optional[jax.Array] = None,
         axis_name: Optional[str] = None,
+        return_overflow: bool = False,
     ):
+        """``return_overflow=True`` (eval mode) additionally returns the
+        (B,) dropped-capacity counts the forward already computed, so
+        eval/serving don't re-voxelize just to count overflow
+        (train mode always carries them in the aux dict)."""
         p = variables["params"]
         dt = jnp.dtype(self.compute_dtype)
         if mask is None:
@@ -124,13 +129,16 @@ class SparseVoxelNet:
         if self.impl == "dense":
             logits = self._apply_dense(p, grid, points, mask, dt)
             # dense has no capacity caps — nothing can be dropped
-            return (logits, {}) if train else logits
-        if self.impl == "block":
+            dropped = jnp.zeros(points.shape[0], jnp.int32)
+        elif self.impl == "block":
             logits, dropped = self._apply_block(p, grid, points, mask, dt)
-            return (logits, {"__overflow__": dropped}) if train else logits
-        logits, dropped = self._apply_gather(p, grid, points, mask, dt)
+        else:
+            logits, dropped = self._apply_gather(p, grid, points, mask, dt)
         if train:
-            return logits, {"__overflow__": dropped}
+            aux = {} if self.impl == "dense" else {"__overflow__": dropped}
+            return logits, aux
+        if return_overflow:
+            return logits, dropped
         return logits
 
     def _gather_stack(self, p, prefix, x, sp, dt):

@@ -256,6 +256,15 @@ def voxelize_packed(
             f"voxelize_packed needs w0 dividing 128 and R a multiple of "
             f"128/w0; got w0={w0}, R={r}"
         )
+    if c > w0:
+        # the placement matrix maps column w*c1+ch to lane (w%p)*w0+ch;
+        # ch >= w0 would land in the NEXT sub-voxel's channel slot and sum
+        # adjacent x-voxels' features into each other — fail loudly like
+        # the non-packed path's negative jnp.pad does
+        raise ValueError(
+            f"voxelize_packed: {c} grid channels (features + occupancy) "
+            f"exceed the packed stem width w0={w0}"
+        )
     u = r // p
 
     flat, lo, scale = voxel_indices(coords, mask, r)
@@ -440,12 +449,14 @@ def _devoxelize_trilinear_matmul(grid_feats, points, mask, lo, scale, dt):
     ``dt`` rounding."""
     b, r = grid_feats.shape[0], grid_feats.shape[1]
     c = grid_feats.shape[-1]
-    grid2 = grid_feats.reshape(b, r * r, r * c).astype(dt)
+    grid2 = grid_feats.reshape(b, r * r, r * c)
     return _devox_matmul_on_grid2(grid2, r, c, points, mask, lo, scale, dt)
 
 
 def _devox_matmul_on_grid2(grid2, r, c, points, mask, lo, scale, dt):
-    """Matmul devoxelize forward on the (B, R*R, R*C) grid2 layout."""
+    """Matmul devoxelize forward on the (B, R*R, R*C) grid2 layout.
+    Casts ``grid2`` to ``dt`` itself (the single cast site — callers
+    pass their native-dtype grid2)."""
     b = grid2.shape[0]
     m = points.shape[1]
     u = _trilinear_u(points, mask, lo, scale)
@@ -483,9 +494,13 @@ def _devox_matmul_on_grid2(grid2, r, c, points, mask, lo, scale, dt):
 
 
 def resolve_devoxelize_impl(impl: str, grid_size: int, c: int) -> str:
-    """'auto' -> matmul below the same R^3*C crossover as ``voxelize``,
-    where the gathers' ~8 ns/row serialization loses to the contraction's
-    R^2*(R*C) MXU work."""
+    """'auto' -> matmul below an R^3*(C+1) crossover, where the gathers'
+    ~8 ns/row serialization loses to the contraction's R^2*(R*C) MXU
+    work. Same 4e6 threshold as ``resolve_voxelize_impl`` but counting
+    C+1 columns: the devoxelize contraction carries the grid2 pair
+    (value + parity) per channel, the voxelizer only its occupancy
+    column — so at a boundary channel count the two CAN resolve
+    differently (each to its own measured winner)."""
     if impl != "auto":
         return impl
     return (

@@ -96,12 +96,24 @@ def initialize_distributed(
     forbids double initialization). Returns True iff the rendezvous ran.
     """
     global _distributed_initialized
-    if coordinator_address is None or _distributed_initialized:
+    if coordinator_address is None:
+        return False
+    if _distributed_initialized:
+        prev = _distributed_initialized
+        args = (coordinator_address, num_processes, process_id)
+        if prev != args:
+            # don't silently keep the old topology when the caller asked
+            # for a different one — JAX cannot re-initialize in-process
+            raise RuntimeError(
+                f"jax.distributed already initialized with {prev}; "
+                f"cannot re-initialize with {args} in the same process"
+            )
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
-    _distributed_initialized = True
+    _distributed_initialized = (coordinator_address, num_processes,
+                                process_id)
     return True

@@ -66,6 +66,18 @@ def check_tp_shardable(t: int) -> None:
             )
 
 
+def _check_tp_model(model) -> None:
+    """tp_apply has no masked-statistics path (see its docstring); fail
+    fast instead of silently training a different objective than the same
+    config under dp/sp (which honor mask_norm_and_pool)."""
+    if getattr(model, "mask_norm_and_pool", False):
+        raise ValueError(
+            "train.parallelism='tp' does not support "
+            "model.mask_norm_and_pool=True (reference BN/pool semantics "
+            "only); use dp or sp for the masked-statistics variant"
+        )
+
+
 def _dense_spec(name: str) -> dict:
     if name in COLUMN_PARALLEL:
         return {"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)}
@@ -231,6 +243,7 @@ def make_tp_forward(model: PointNetSeg, mesh: Mesh, train: bool = False):
     slices them onto the spec) or pre-sharded ones.
     """
     check_tp_shardable(mesh.shape[MODEL_AXIS])
+    _check_tp_model(model)
     shapes = jax.eval_shape(model.init, jax.random.key(0))
     vspecs = tp_variables_specs(shapes)
 
@@ -331,6 +344,7 @@ def make_tp_train_step(
     from pcseg_tpu.train.steps import TrainState
 
     check_tp_shardable(mesh.shape[MODEL_AXIS])
+    _check_tp_model(model)
     bn_axis = DATA_AXIS if sync_batchnorm else None
     state_specs = tp_state_specs(model, optimizer)
     param_specs = state_specs.params

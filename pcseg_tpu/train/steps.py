@@ -86,10 +86,14 @@ def _make_mapped_train_step(
         dropout_key = jax.random.fold_in(
             dropout_key, jax.lax.axis_index(DATA_AXIS)
         )
+        # Static-shape gate: the fused kernels tile the point axis in
+        # multiples of 8 (models/pointnet_fused._pick_tile raises on
+        # indivisible shapes); odd bucket sizes take the XLA path.
+        fused_here = use_fused_loss and points.shape[1] % 8 == 0
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            if use_fused_loss:
+            if fused_here:
                 (num, den, correct), new_bn = model.fused_train_loss(
                     variables, points, labels, class_weights,
                     dropout_key=dropout_key,
@@ -272,12 +276,18 @@ def make_eval_step(
 
     def step(state: TrainState, batch, class_weights):
         points, labels, masks = batch
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            points,
-            train=False,
-            mask=masks,
-        )
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        surfaces_overflow = hasattr(model, "overflow_counts")
+        if surfaces_overflow:
+            # sparse family: the forward already counted capacity
+            # exhaustion — return it instead of re-voxelizing for it
+            logits, dropped = model.apply(
+                variables, points, train=False, mask=masks,
+                return_overflow=True,
+            )
+        else:
+            logits = model.apply(variables, points, train=False, mask=masks)
         lnum, lden = cross_entropy_sums(logits, labels, class_weights)
         num = jax.lax.psum(lnum, DATA_AXIS)
         den = jnp.maximum(
@@ -292,10 +302,10 @@ def make_eval_step(
             "total": jax.lax.psum(total, DATA_AXIS),
             "confusion": jax.lax.psum(cm, DATA_AXIS),
         }
-        if hasattr(model, "overflow_counts"):
+        if surfaces_overflow:
             # sparse family: surface capacity exhaustion in eval too
             metrics["dropped"] = jax.lax.psum(
-                jnp.sum(model.overflow_counts(points, masks)), DATA_AXIS
+                jnp.sum(dropped), DATA_AXIS
             )
         return metrics
 

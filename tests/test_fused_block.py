@@ -176,3 +176,18 @@ def test_fused_block_dropout_fwd_bwd_mask_agreement(rng):
     # sanity: the mask actually drops roughly half
     keep_frac = fwd_keep.mean()
     assert 0.4 < keep_frac < 0.6, keep_frac
+
+
+def test_pick_tile_raises_on_indivisible_rows():
+    """No silent 8-row fallback: an out-of-bounds final tile would feed
+    garbage rows into the fused CE epilogue (labels >= 0 pass the valid
+    test), so indivisible shapes must be rejected and routed to XLA."""
+    import pytest
+
+    from pcseg_tpu.models.pointnet_fused import _pick_tile
+
+    assert _pick_tile(64 * 2048, 2048, 64, 512) > 8
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _pick_tile(50, None, 512, 256)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _pick_tile(400, 50, 64, 512)

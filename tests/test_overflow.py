@@ -148,3 +148,25 @@ def test_predictor_warns_and_strict_raises(rng):
         strict_capacity=True,
     )
     ok.predict(event)
+
+
+def test_apply_return_overflow_matches_counts(rng):
+    """Eval-mode apply(return_overflow=True) returns the same per-event
+    dropped counts as the standalone overflow_counts scan (which eval
+    metrics/serving no longer call — the forward carries the counts)."""
+    points, masks = _dense_batch(rng)
+    for impl in ("block", "gather", "dense"):
+        model = SparseVoxelNet(
+            num_classes=4, grid_size=16, width=8, depth=1, impl=impl,
+            max_tiles=3, tile=4, max_active=64,
+        )
+        variables = model.init(jax.random.key(0))
+        logits, dropped = model.apply(
+            variables, points, mask=masks, return_overflow=True
+        )
+        plain = model.apply(variables, points, mask=masks)
+        np.testing.assert_array_equal(np.asarray(logits), np.asarray(plain))
+        np.testing.assert_array_equal(
+            np.asarray(dropped),
+            np.asarray(model.overflow_counts(points, masks)),
+        )

@@ -241,6 +241,11 @@ def test_initialize_distributed_plumbing(monkeypatch):
     # second call in the same process must not re-initialize
     assert mesh_mod.initialize_distributed("10.0.0.1:8476", 2, 1) is False
     assert len(calls) == 1
+    # ... and a DIFFERENT topology must fail loudly, not silently keep
+    # the old one (JAX cannot re-initialize in-process)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="already initialized"):
+        mesh_mod.initialize_distributed("10.0.0.9:9999", 4, 2)
 
     # config/CLI override path carries the fields
     cfg = apply_overrides(Config(), [

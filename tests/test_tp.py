@@ -151,3 +151,18 @@ def test_tp_specs_cover_every_leaf():
 
     ss = tp_state_specs(model, optax.adam(1e-3))
     assert ss.step == P()
+
+
+def test_tp_rejects_mask_norm_and_pool(tp_mesh):
+    """tp_apply has no masked-statistics path; the same config must not
+    silently train a different objective than dp/sp."""
+    import pytest
+
+    from pcseg_tpu.parallel.tp import make_tp_forward, make_tp_train_step
+    from pcseg_tpu.train.optim import make_optimizer
+
+    model = PointNetSeg(num_classes=4, mask_norm_and_pool=True)
+    with pytest.raises(ValueError, match="mask_norm_and_pool"):
+        make_tp_forward(model, tp_mesh)
+    with pytest.raises(ValueError, match="mask_norm_and_pool"):
+        make_tp_train_step(model, make_optimizer(), tp_mesh)

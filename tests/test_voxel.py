@@ -474,3 +474,17 @@ def test_head1x1_grid2_matches_packed(rng):
         np.asarray(y5.reshape(b, r * r, r * nc)), np.asarray(y2),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_voxelize_packed_rejects_channels_over_stem_width(rng):
+    """Channel counts above the packed stem width must fail loudly —
+    the lane placement would sum adjacent x-voxels' features otherwise."""
+    import pytest
+
+    from pcseg_tpu.ops.voxel import voxelize_packed
+
+    points = jnp.asarray(rng.normal(size=(1, 64, 20)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    # 17 feature channels + occupancy = 18 > w0=16
+    with pytest.raises(ValueError, match="exceed the packed stem width"):
+        voxelize_packed(points, mask, grid_size=32, w0=16)
