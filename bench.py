@@ -223,6 +223,11 @@ def bench_torch_cpu_reference() -> float | None:
 def main():
     import os
 
+    # survive transient TPU-tunnel outages instead of recording a dead
+    # round (probes in a subprocess; jax caches failed inits in-process)
+    from pcseg_tpu.core.runtime import wait_for_backend
+
+    wait_for_backend()
     value = bench_jax()
     if os.environ.get("PCSEG_BENCH_LIVE_BASELINE") == "1":
         baseline = bench_torch_cpu_reference() or RECORDED_CPU_BASELINE
