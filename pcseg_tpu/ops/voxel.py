@@ -42,6 +42,59 @@ def _zeros_like_vma(shape, ref):
     return z
 
 
+def _scan_point_chunks(fn, arrays, pad_values, *, m, row_bytes, init=None):
+    """Run ``fn(*point_chunks)`` over point-axis chunks sized so the
+    per-chunk (B, Mc, R*R) one-hot operand stays under the HBM budget.
+
+    The one shared implementation of the chunking loop used by the
+    matmul voxelizer, the matmul devoxelize forward and the devoxelize
+    backward (the budget math, padding, reshape-transpose and lax.scan
+    glue were previously triplicated).
+
+    - ``arrays``: per-point operands, each (B, M) or (B, M, K); padded to
+      a chunk multiple with the matching ``pad_values`` entry (sentinel
+      index / zero — both make padded slots contribute nothing).
+    - ``chunk = budget // row_bytes`` where ``row_bytes`` is one point's
+      contribution to the dominant operand. When nothing needs chunking,
+      calls ``fn(*arrays)`` directly (the benchmarked fast path).
+    - ``init`` not None: ``fn`` returns a reduction over points; chunks
+      accumulate into ``init`` (pass `_zeros_like_vma` for shard_map).
+    - ``init`` None: ``fn`` returns per-point outputs (B, Mc, C); chunk
+      outputs are restitched along the point axis and sliced back to m.
+    """
+    b = arrays[0].shape[0]
+    chunk = max(1, min(m, _DEVOX_BWD_BUDGET_BYTES // max(row_bytes, 1)))
+    if chunk >= m:
+        return fn(*arrays)
+    nchunks = -(-m // chunk)
+    pad = nchunks * chunk - m
+
+    def prep(v, pv):
+        if v.ndim == 3:
+            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=pv)
+            return vp.reshape(
+                b, nchunks, chunk, v.shape[-1]
+            ).transpose(1, 0, 2, 3)
+        vp = jnp.pad(v, ((0, 0), (0, pad)), constant_values=pv)
+        return vp.reshape(b, nchunks, chunk).transpose(1, 0, 2)
+
+    xs = tuple(prep(v, pv) for v, pv in zip(arrays, pad_values))
+    if init is not None:
+        def body(acc, chunks):
+            return acc + fn(*chunks), None
+
+        out, _ = jax.lax.scan(body, init, xs)
+        return out
+
+    def body(_, chunks):
+        return None, fn(*chunks)
+
+    _, stacked = jax.lax.scan(body, None, xs)        # (n, B, chunk, C)
+    return stacked.transpose(1, 0, 2, 3).reshape(
+        b, -1, stacked.shape[-1]
+    )[:, :m]
+
+
 class VoxelGrid(NamedTuple):
     features: jax.Array   # (B, R, R, R, C) mean point features per voxel
     counts: jax.Array     # (B, R, R, R) points per voxel
@@ -164,37 +217,12 @@ def _voxelize_matmul_raw(flat, feats, r, dt):
             preferred_element_type=jnp.float32,
         )                                                   # (B, R^2, R*(C+1))
 
-    budget = _DEVOX_BWD_BUDGET_BYTES
-    row_bytes = b * r * r * jnp.dtype(dt).itemsize
-    chunk = max(1, min(m, budget // max(row_bytes, 1)))
-    if chunk >= m:
-        out = contract(fz, fy, fx, ext)
-    else:
-        nchunks = -(-m // chunk)
-        pad = nchunks * chunk - m
-        # padded slots carry the sentinel index (zero one-hot row)
-        ext_p = jnp.pad(ext, ((0, 0), (0, pad), (0, 0)))
-        fz_p, fy_p, fx_p = (
-            jnp.pad(v, ((0, 0), (0, pad)), constant_values=r)
-            for v in (fz, fy, fx)
-        )
-
-        def body(acc, xs):
-            zc, yc, xc, ec = xs
-            return acc + contract(zc, yc, xc, ec), None
-
-        xs = tuple(
-            v.reshape(b, nchunks, chunk, -1).transpose(1, 0, 2, 3)
-            if v.ndim == 3 else
-            v.reshape(b, nchunks, chunk).transpose(1, 0, 2)
-            for v in (fz_p, fy_p, fx_p, ext_p)
-        )
-        out, _ = jax.lax.scan(
-            body,
-            _zeros_like_vma((b, r * r, r * (c + 1)), feats),
-            xs,
-        )
-    return out
+    # padded slots carry the sentinel index (zero one-hot row)
+    return _scan_point_chunks(
+        contract, (fz, fy, fx, ext), (r, r, r, 0.0),
+        m=m, row_bytes=b * r * r * jnp.dtype(dt).itemsize,
+        init=_zeros_like_vma((b, r * r, r * (c + 1)), feats),
+    )
 
 
 def _voxelize_matmul(flat, feats, r, dt):
@@ -474,22 +502,11 @@ def _devox_matmul_on_grid2(grid2, r, c, points, mask, lo, scale, dt):
 
         return trilinear_gather(u, mask, grid2)
 
-    budget = _DEVOX_BWD_BUDGET_BYTES
-    row_bytes = b * r * r * jnp.dtype(dt).itemsize
-    chunk = max(1, min(m, budget // max(row_bytes, 1)))
-    if chunk >= m:
-        out = _devox_fwd_contract(u, grid2, r, c, dt)
-    else:
-        nchunks = -(-m // chunk)
-        pad = nchunks * chunk - m
-        u_p = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
-        u_s = u_p.reshape(b, nchunks, chunk, 3).transpose(1, 0, 2, 3)
-
-        def body(_, uc):
-            return None, _devox_fwd_contract(uc, grid2, r, c, dt)
-
-        _, chunks = jax.lax.scan(body, None, u_s)           # (n, B, Mc, C)
-        out = chunks.transpose(1, 0, 2, 3).reshape(b, -1, c)[:, :m]
+    out = _scan_point_chunks(
+        lambda uc: _devox_fwd_contract(uc, grid2, r, c, dt),
+        (u,), (0.0,),
+        m=m, row_bytes=b * r * r * jnp.dtype(dt).itemsize,
+    )
     return jnp.where(mask[..., None], out, 0.0)
 
 
@@ -624,28 +641,14 @@ def _devox_dgrid2(u, go, r, c, bwd_dtype):
         return trilinear_scatter(u, go, r)
 
     # chunk the point axis so the (B, Mc, R*R) one-hot operand stays
-    # under the budget (at B8/M8192/R128 the unchunked operand is ~2 GB)
-    budget = _DEVOX_BWD_BUDGET_BYTES
-    row_bytes = b * r * r * jnp.dtype(bwd_dtype).itemsize
-    chunk = max(1, min(m, budget // max(row_bytes, 1)))
-    if chunk >= m:
-        return _devox_contract(u, go, r, c, bwd_dtype)
-    nchunks = -(-m // chunk)
-    pad = nchunks * chunk - m
+    # under the budget (at B8/M8192/R128 the unchunked operand is ~2 GB);
     # padded points carry zero cotangents -> contribute nothing
-    u_p = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
-    go_p = jnp.pad(go, ((0, 0), (0, pad), (0, 0)))
-    u_s = u_p.reshape(b, nchunks, chunk, 3).transpose(1, 0, 2, 3)
-    go_s = go_p.reshape(b, nchunks, chunk, c).transpose(1, 0, 2, 3)
-
-    def body(acc, xs):
-        uc, gc = xs
-        return acc + _devox_contract(uc, gc, r, c, bwd_dtype), None
-
-    dgrid, _ = jax.lax.scan(
-        body, _zeros_like_vma((b, r * r, r * c), go), (u_s, go_s)
+    return _scan_point_chunks(
+        lambda uc, gc: _devox_contract(uc, gc, r, c, bwd_dtype),
+        (u, go), (0.0, 0.0),
+        m=m, row_bytes=b * r * r * jnp.dtype(bwd_dtype).itemsize,
+        init=_zeros_like_vma((b, r * r, r * c), go),
     )
-    return dgrid
 
 
 def _devox_bwd(bwd_dtype, impl, res, go):
