@@ -21,6 +21,15 @@ def enable_compilation_cache() -> str | None:
     setting = os.environ.get("PCSEG_COMPILE_CACHE", "")
     if setting == "0":
         return None
+    from pcseg_tpu.core.runtime import _cpu_forced
+
+    if _cpu_forced():
+        # CPU-pinned process (tests / dryrun bootstrap / driver CPU mesh):
+        # CPU compiles are cheap, and loading CPU AOT entries written on
+        # a DIFFERENT host machine-feature set risks SIGILL (observed
+        # "+prefer-no-scatter not supported on the host machine"
+        # warnings) — cache accelerator programs only.
+        return None
     cache_dir = setting if setting not in ("", "1") else _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
