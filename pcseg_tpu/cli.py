@@ -117,6 +117,31 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """AOT-export a checkpoint's serving forward (serve.py artifact)."""
+    from pcseg_tpu.infer import Predictor
+    from pcseg_tpu.serve import export_predictor
+
+    kw = {}
+    if args.dtype:
+        kw["dtype"] = args.dtype
+    predictor = Predictor.from_checkpoint(
+        args.checkpoint, fold=not args.no_fold, **kw
+    )
+    manifest = export_predictor(
+        predictor,
+        args.out,
+        batch_sizes=tuple(int(x) for x in args.batch_sizes.split(",")),
+        buckets=(
+            tuple(int(x) for x in args.buckets.split(","))
+            if args.buckets else None
+        ),
+        platforms=tuple(args.platforms.split(",")) if args.platforms else None,
+    )
+    print(json.dumps({"exported": args.out, **manifest}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -217,6 +242,29 @@ def main(argv=None) -> int:
     p.add_argument("--max-points", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser(
+        "export",
+        help="AOT-export a checkpoint's serving forward as a "
+        "model-code-free jax.export artifact (see pcseg_tpu/serve.py)",
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--batch-sizes", default="1,8")
+    p.add_argument(
+        "--buckets", default=None,
+        help="comma-separated pad buckets (default: predictor's)",
+    )
+    p.add_argument(
+        "--platforms", default=None,
+        help="comma-separated lowering platforms (default: this backend)",
+    )
+    p.add_argument("--dtype", default=None, help="serving compute dtype")
+    p.add_argument(
+        "--no-fold", action="store_true",
+        help="export the exact eval path instead of the BN-folded one",
+    )
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)

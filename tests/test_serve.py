@@ -1,0 +1,168 @@
+"""AOT-export serving artifacts (pcseg_tpu/serve.py).
+
+The exported StableHLO forward must reproduce the live Predictor's
+logits exactly (same program, same weights), surface sparse capacity
+overflow like the live path, and refuse platform-mismatched artifacts.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pcseg_tpu.infer import Predictor
+from pcseg_tpu.serve import export_predictor, load_exported
+
+
+def _pointnet_predictor(num_classes=4, buckets=(64, 128)):
+    import jax
+
+    from pcseg_tpu.models.pointnet import PointNetSeg
+
+    model = PointNetSeg(num_classes=num_classes)
+    variables = model.init(jax.random.key(0))
+    return Predictor(variables, num_classes, buckets=buckets)
+
+
+def test_export_roundtrip_pointnet(tmp_path):
+    pred = _pointnet_predictor()
+    art = str(tmp_path / "artifact")
+    manifest = export_predictor(pred, art, batch_sizes=(1, 2))
+    assert manifest["buckets"] == [64, 128]
+    assert os.path.exists(os.path.join(art, "fwd_b1_m64.stablehlo"))
+
+    served = load_exported(art)
+    rng = np.random.default_rng(3)
+    for n in (33, 64, 100):
+        pts = rng.normal(size=(n, 4)).astype(np.float32)
+        np.testing.assert_allclose(
+            served.logits(pts), pred.logits(pts), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            served.predict(pts), pred.predict(pts)
+        )
+
+
+def test_export_predict_batch_matches_live(tmp_path):
+    pred = _pointnet_predictor()
+    art = str(tmp_path / "artifact")
+    export_predictor(pred, art, batch_sizes=(2,))
+    served = load_exported(art)
+    rng = np.random.default_rng(5)
+    events = [
+        rng.normal(size=(n, 4)).astype(np.float32)
+        for n in (40, 70, 128, 10, 90)
+    ]
+    got = served.predict_batch(events)
+    want = pred.predict_batch(events, batch_size=2)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    with pytest.raises(ValueError, match="not in exported"):
+        served.predict_batch(events, batch_size=3)
+
+
+def test_export_voxel_family(tmp_path):
+    import jax
+
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+    model = VoxelUNet3d(
+        num_classes=4, grid_size=16, width=8, levels=2, conv_impl="xla"
+    )
+    variables = model.init(jax.random.key(1))
+    pred = Predictor(variables, 4, buckets=(64,), model=model)
+    art = str(tmp_path / "artifact")
+    export_predictor(pred, art, batch_sizes=(1,))
+    served = load_exported(art)
+    pts = np.random.default_rng(0).normal(size=(50, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        served.logits(pts), pred.logits(pts), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_export_surfaces_sparse_overflow(tmp_path):
+    import jax
+
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    model = SparseVoxelNet(
+        num_classes=4, grid_size=16, width=8, levels=1, impl="gather",
+        max_active=8,
+    )
+    variables = model.init(jax.random.key(1))
+    pred = Predictor(variables, 4, buckets=(256,), model=model)
+    art = str(tmp_path / "artifact")
+    manifest = export_predictor(pred, art, batch_sizes=(1,))
+    assert manifest["returns_overflow"]
+    served = load_exported(art)
+    # far more occupied voxels than max_active=8 -> overflow must surface
+    pts = np.random.default_rng(2).normal(size=(200, 4)).astype(np.float32)
+    with pytest.warns(UserWarning, match="capacity overflow"):
+        served.predict(pts)
+    strict = load_exported(art, strict_capacity=True)
+    with pytest.raises(RuntimeError, match="capacity overflow"):
+        strict.predict(pts)
+
+
+def test_export_refuses_platform_mismatch(tmp_path):
+    pred = _pointnet_predictor(buckets=(64,))
+    art = str(tmp_path / "artifact")
+    export_predictor(pred, art, batch_sizes=(1,))
+    mpath = os.path.join(art, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["platforms"] = ["tpu"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="exported for"):
+        load_exported(art)
+
+
+def test_export_refuses_multiplatform_pallas(tmp_path):
+    import jax
+
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+    model = VoxelUNet3d(
+        num_classes=4, grid_size=16, width=8, levels=2, conv_impl="fused"
+    )
+    variables = model.init(jax.random.key(1))
+    pred = Predictor(variables, 4, buckets=(64,), model=model)
+    with pytest.raises(ValueError, match="multi-platform"):
+        export_predictor(
+            pred, str(tmp_path / "a"), platforms=("cpu", "tpu")
+        )
+
+
+def test_cli_export_roundtrip(tmp_path, capsys):
+    from pcseg_tpu.ckpt.checkpoint import save_checkpoint
+    from pcseg_tpu.cli import main
+
+    pred = _pointnet_predictor()
+    # build a loadable framework checkpoint from raw (unfolded) variables
+    import jax
+
+    from pcseg_tpu.models.pointnet import PointNetSeg
+
+    model = PointNetSeg(num_classes=4)
+    variables = model.init(jax.random.key(0))
+    ck = str(tmp_path / "ck")
+    save_checkpoint(
+        ck,
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        metadata={"num_classes": 4},
+    )
+    art = str(tmp_path / "art")
+    assert main([
+        "export", "--checkpoint", ck, "--out", art,
+        "--batch-sizes", "1", "--buckets", "64",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exported"] == art and out["buckets"] == [64]
+    served = load_exported(art)
+    pts = np.random.default_rng(1).normal(size=(30, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        served.logits(pts), pred.logits(pts), atol=1e-5, rtol=1e-5
+    )
