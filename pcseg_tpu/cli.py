@@ -143,7 +143,7 @@ def cmd_export(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    from pcseg_tpu import bench
 
     bench.main()
     return 0
