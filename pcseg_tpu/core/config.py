@@ -109,8 +109,12 @@ class TrainConfig:
     # failure recovery: also write a 'latest' checkpoint every N epochs
     # (0 = only the best-model checkpoint, like the reference)
     save_latest_every: int = 1
-    # per-step progress logging (0 = off; each log syncs the device)
-    log_every_steps: int = 0
+    # per-step progress logging (0 = off). Logs are LAGGED by one window:
+    # at step i the line reports step i - log_every_steps, whose metrics
+    # are already materialized after N more dispatches, so reading them
+    # never stalls the device pipeline (the reference's tqdm postfix
+    # syncs on loss.item() every batch, pcs.py:268-271).
+    log_every_steps: int = 20
     # Parallelism: number of devices on the mesh 'data' axis (0 = all
     # remaining after the model axis).
     data_parallel: int = 0

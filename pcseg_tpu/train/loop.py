@@ -126,15 +126,24 @@ def _run_epoch_train(
 ):
     """One training pass. Metrics stay on device until the epoch ends —
     the reference syncs on ``loss.item()`` every batch (pcs.py:258); here
-    dispatch runs ahead asynchronously and the only host sync is the final
-    conversion (or every ``log_every`` steps when progress logging is on)."""
+    dispatch runs ahead asynchronously. Progress lines (``log_every``) are
+    LAGGED: at step i they report step ``i - log_every``, which finished
+    executing while the later steps were being dispatched, so the reads
+    are transfers of materialized values, not device syncs."""
     metrics_list = []
     for i, (points, labels, masks) in enumerate(batcher):
         dk = prng.purpose_key(root, "dropout", epoch * 1_000_000 + i)
         state, metrics = train_step(state, (points, labels, masks), lr, dk, cw)
         metrics_list.append(metrics)
-        if log_every and (i + 1) % log_every == 0:
-            log(f"  step {i + 1}: loss {float(metrics['loss']):.4f}")
+        if log_every and (i + 1) % log_every == 0 and i + 1 > log_every:
+            j = i - log_every
+            m = metrics_list[j]
+            tot = float(m["total"])
+            acc = 100.0 * float(m["correct"]) / tot if tot > 0 else 0.0
+            log(
+                f"  step {j + 1}: loss {float(m['loss']):.4f} "
+                f"acc {acc:.2f}%"
+            )
     losses = [float(m["loss"]) for m in metrics_list]
     correct = sum(float(m["correct"]) for m in metrics_list)
     total = sum(float(m["total"]) for m in metrics_list)
