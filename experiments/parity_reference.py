@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def run_ours(events, epochs, batch_size, seed, log=print):
+def run_ours(events, epochs, batch_size, seed, log=print, patience=None):
     from pcseg_tpu.api import fit
     from pcseg_tpu.core.config import Config
 
@@ -33,7 +33,9 @@ def run_ours(events, epochs, batch_size, seed, log=print):
     cfg.data.buckets = (512,)
     cfg.data.split_seed = seed
     cfg.train.num_epochs = epochs
-    cfg.train.patience = epochs + 1  # no early stop: full trajectory
+    # default: no early stop (full trajectory); pass patience=16 for the
+    # reference's full protocol (pcs.py:224)
+    cfg.train.patience = patience if patience else epochs + 1
     cfg.train.seed = seed
     cfg.train.checkpoint_dir = "/tmp/parity_ckpt"
     cfg.model.compute_dtype = "bfloat16"
@@ -50,8 +52,13 @@ def run_ours(events, epochs, batch_size, seed, log=print):
     ]
 
 
-def run_torch_reference(events, epochs, batch_size, seed, log=print):
-    """Reference training policy (pcs.py:135-396) on the same split."""
+def run_torch_reference(events, epochs, batch_size, seed, log=print,
+                        patience=None):
+    """Reference training policy (pcs.py:135-396) on the same split.
+
+    ``patience``: enable the reference's best-class-2-F1 selection with
+    val-loss tiebreak and early stop (pcs.py:359-391); None = run the
+    full epoch budget."""
     import torch
     from sklearn.metrics import f1_score
 
@@ -88,6 +95,7 @@ def run_torch_reference(events, epochs, batch_size, seed, log=print):
             yield pts, labs
 
     history = []
+    best_f1, best_val, patience_ctr = -1.0, float("inf"), 0
     for epoch in range(epochs):
         t0 = time.perf_counter()
         model.train()
@@ -124,6 +132,19 @@ def run_torch_reference(events, epochs, batch_size, seed, log=print):
             f"f1_macro {rec['f1_macro']:.4f} f1[2] {rec['f1_class2']:.4f} "
             f"({time.perf_counter() - t0:.1f}s)"
         )
+        if patience:
+            # best-model selection + early stop (pcs.py:359-391)
+            if rec["f1_class2"] > best_f1 or (
+                rec["f1_class2"] == best_f1 and rec["val_loss"] < best_val
+            ):
+                best_f1, best_val, patience_ctr = (
+                    rec["f1_class2"], rec["val_loss"], 0
+                )
+            else:
+                patience_ctr += 1
+                if patience_ctr >= patience:
+                    log(f"torch early stopping at epoch {epoch + 1}")
+                    break
     return history
 
 
@@ -134,6 +155,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="parity_results.json")
+    ap.add_argument(
+        "--patience", type=int, default=0,
+        help="full reference protocol: best-class-2-F1 selection + "
+             "early stop after N stale epochs (pcs.py:224 uses 16); "
+             "0 = run the whole epoch budget",
+    )
     args = ap.parse_args()
 
     from pcseg_tpu.data.synthetic import synthetic_events
@@ -144,9 +171,11 @@ def main():
             seed=args.seed,
         )
     )
-    ours = run_ours(events, args.epochs, args.batch_size, args.seed)
+    patience = args.patience or None
+    ours = run_ours(events, args.epochs, args.batch_size, args.seed,
+                    patience=patience)
     torch_hist = run_torch_reference(
-        events, args.epochs, args.batch_size, args.seed
+        events, args.epochs, args.batch_size, args.seed, patience=patience
     )
     result = {
         "config": vars(args),
@@ -157,6 +186,14 @@ def main():
             "torch_f1_macro": torch_hist[-1]["f1_macro"],
             "ours_f1_class2": ours[-1]["f1_class2"],
             "torch_f1_class2": torch_hist[-1]["f1_class2"],
+            "ours_best_f1_class2": max(h["f1_class2"] for h in ours),
+            "torch_best_f1_class2": max(
+                h["f1_class2"] for h in torch_hist
+            ),
+            "ours_best_f1_macro": max(h["f1_macro"] for h in ours),
+            "torch_best_f1_macro": max(h["f1_macro"] for h in torch_hist),
+            "ours_epochs": len(ours),
+            "torch_epochs": len(torch_hist),
         },
     }
     with open(args.out, "w") as f:

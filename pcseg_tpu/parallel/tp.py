@@ -428,3 +428,60 @@ def make_tp_train_step(
     if donate:
         return jax.jit(mapped, donate_argnums=(0,))
     return jax.jit(mapped)
+
+
+def make_tp_eval_step(
+    model: PointNetSeg,
+    mesh: Mesh,
+    num_classes: int,
+    optimizer: optax.GradientTransformation,
+):
+    """Eval step whose forward runs column/row-sharded with the params ON
+    their Megatron shardings — the generic eval step's replicated
+    variables spec (train/steps.py) would all-gather the sharded params
+    every pass, defeating the "params don't fit one chip" mechanism
+    (VERDICT r3 item 6). BN uses running stats (eval mode), matching the
+    reference's val pass (pcs.py:277-312).
+
+    Same signature/metrics as train.steps.make_eval_step:
+    ``eval_step(state, batch, class_weights) -> {loss, correct, total,
+    confusion}``. ``optimizer`` is only needed to type the state's
+    opt_state shardings (the step never reads it).
+    """
+    from pcseg_tpu.ops.metrics import confusion_matrix
+
+    check_tp_shardable(mesh.shape[MODEL_AXIS])
+    _check_tp_model(model)
+    state_specs = tp_state_specs(model, optimizer)
+
+    def step(state, batch, class_weights):
+        points, labels, masks = batch
+        logits = tp_apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points, train=False, mask=masks, dropout_rate=0.0,
+            compute_dtype=jnp.dtype(model.compute_dtype),
+            fast_bn_stats=model.bn_stats in ("fast", "fused"),
+        )
+        num, den = cross_entropy_sums(logits, labels, class_weights)
+        correct, total = masked_accuracy(logits, labels, masks)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, labels, masks, num_classes)
+        return {
+            "loss": jax.lax.psum(num, DATA_AXIS) / jnp.maximum(
+                jax.lax.psum(den, DATA_AXIS), jnp.finfo(jnp.float32).tiny
+            ),
+            "correct": jax.lax.psum(correct, DATA_AXIS),
+            "total": jax.lax.psum(total, DATA_AXIS),
+            "confusion": jax.lax.psum(cm, DATA_AXIS),
+        }
+
+    rep = P()
+    bspec = P(DATA_AXIS)
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(state_specs, (bspec, bspec, bspec), rep),
+        out_specs=rep,
+        check_vma=True,
+    )
+    return jax.jit(mapped)

@@ -121,6 +121,25 @@ def _make_strategy_train_step(strategy, model, optimizer, mesh, sync_bn):
     )
 
 
+def _make_strategy_eval_step(strategy, model, mesh, num_classes, optimizer):
+    """Eval step matching ``train.parallelism`` — validation must run
+    under the SAME sharding as training (the reference runs inference
+    under its training parallelism, pcs.py:412-420): a GP run's grid may
+    not fit one chip replicated, and a TP run's params stay Megatron-
+    sharded instead of being gathered every eval pass."""
+    if strategy == "gp":
+        from pcseg_tpu.parallel.gp import make_gp_eval_step
+
+        return make_gp_eval_step(model, mesh, num_classes)
+    if strategy == "tp":
+        from pcseg_tpu.parallel.tp import make_tp_eval_step
+
+        return make_tp_eval_step(model, mesh, num_classes, optimizer)
+    # dp and sp: the replicated-variables eval step (an SP train run's
+    # state is replicated; eval batches shard over the data axis)
+    return make_eval_step(model, mesh, num_classes)
+
+
 def _run_epoch_train(
     train_step, batcher, state, lr, cw, root, epoch, log, log_every=0
 ):
@@ -272,7 +291,9 @@ def train_model(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             state, specs,
         )
-    eval_step = make_eval_step(model, mesh, num_classes)
+    eval_step = _make_strategy_eval_step(
+        t_cfg.parallelism, model, mesh, num_classes, optimizer
+    )
 
     # Background prefetch threads keep `prefetch_depth` batches read,
     # packed, and device_put ahead of the compute stream (replaces the

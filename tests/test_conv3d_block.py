@@ -482,3 +482,37 @@ def test_stats_skip_edges():
     np.testing.assert_allclose(
         np.asarray(st2), np.asarray(ref2), rtol=3e-2, atol=0.5
     )
+
+
+def test_need_dx_false_param_grads_unchanged():
+    """Stem contract: ``need_dx=False`` skips the dgrad kernel but the
+    w/bias gradients (through the output AND the in-kernel stats) match
+    the full backward exactly; the returned input cotangent is zeros."""
+    from pcseg_tpu.ops.pallas.conv3d_block import fused_conv3x3_p, pack_grid
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 8, 16)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    xp, meta = pack_grid(x)
+    z = jnp.zeros((2, 128), jnp.float32)
+
+    def loss(w, b, need_dx):
+        y, st = fused_conv3x3_p(xp, w, b, z, z, meta, False, True, True,
+                                False, need_dx)
+        return (jnp.sum(jnp.sin(y.astype(jnp.float32)))
+                + jnp.sum(jnp.cos(st)))
+
+    (gw1, gb1) = jax.grad(loss, argnums=(0, 1))(w, b, True)
+    (gw0, gb0) = jax.grad(loss, argnums=(0, 1))(w, b, False)
+    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1))
+    np.testing.assert_allclose(np.asarray(gb0), np.asarray(gb1))
+
+    # the dead-input cotangent comes back as zeros
+    def loss_x(xp_):
+        y, st = fused_conv3x3_p(xp_, w, b, z, z, meta, False, True, True,
+                                False, False)
+        return jnp.sum(y.astype(jnp.float32)) + jnp.sum(st)
+
+    gx = jax.grad(loss_x)(xp)
+    assert not np.any(np.asarray(gx, np.float32))

@@ -166,3 +166,56 @@ def test_tp_rejects_mask_norm_and_pool(tp_mesh):
         make_tp_forward(model, tp_mesh)
     with pytest.raises(ValueError, match="mask_norm_and_pool"):
         make_tp_train_step(model, make_optimizer(), tp_mesh)
+
+
+def test_tp_eval_step_matches_single_device_and_stays_sharded(small_events):
+    """VERDICT r3 item 6: eval under parallelism='tp' must keep the
+    Megatron-sharded params sharded (no all-gather to replicated) and
+    reproduce the single-device eval metrics (running-stats BN)."""
+    from pcseg_tpu.parallel.tp import make_tp_eval_step
+    from pcseg_tpu.train.steps import (
+        create_train_state,
+        make_eval_step,
+    )
+
+    model = PointNetSeg(num_classes=4, dropout=0.0)
+    tx = optax.adam(1e-3)
+    cw = jnp.asarray([0.3, 0.3, 2.8, 0.6])
+    batch = _batch(small_events, b=4)
+    # labels with pad sentinel so CE/confusion exercise masking
+    pts, labels, masks = batch
+    labels = jnp.where(masks, labels, -1)
+    batch = (pts, labels, masks)
+
+    mesh24 = make_mesh(MeshSpec(data=2, model=4))
+    s_tp = create_tp_train_state(model, jax.random.key(0), tx, mesh24)
+    ev_tp = make_tp_eval_step(model, mesh24, 4, tx)
+    m_tp = ev_tp(s_tp, batch, cw)
+
+    mesh1 = make_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+    s_1 = create_train_state(model, jax.random.key(0), tx)
+    ev_1 = make_eval_step(model, mesh1, 4)
+    m_1 = ev_1(s_1, batch, cw)
+
+    np.testing.assert_allclose(
+        float(m_tp["loss"]), float(m_1["loss"]), rtol=1e-5
+    )
+    assert float(m_tp["correct"]) == float(m_1["correct"])
+    assert float(m_tp["total"]) == float(m_1["total"])
+    np.testing.assert_allclose(
+        np.asarray(m_tp["confusion"]), np.asarray(m_1["confusion"])
+    )
+
+    # the sharded params must NOT be gathered: the eval program's
+    # parameter inputs keep their model-axis sharding (the generic eval
+    # step's replicated spec showed [{}, {}] here — the gather VERDICT
+    # r3 item 6 flagged)
+    import re
+
+    hlo = ev_tp.lower(s_tp, batch, cw).as_text()
+    shardings = re.findall(
+        r"tensor<128x1024xf32> \{sdy.sharding = ([^>]*)>", hlo
+    )
+    assert shardings and all('{"model"}' in s for s in shardings), (
+        f"conv5 kernel arrives gathered in eval: {shardings}"
+    )
