@@ -32,6 +32,7 @@ BASELINE.json's "sparse submanifold" north-star component).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -114,12 +115,50 @@ def _tile_deltas() -> jnp.ndarray:
     )
 
 
-def _gather_halo(bs: BlockSparseVoxels, feats: jax.Array) -> jax.Array:
+def _neighbor_slots(bs: BlockSparseVoxels, sign: int) -> jax.Array:
+    """(B, NT, 27) neighbor slot per tile: slot of the tile at
+    ``pos + sign * delta`` (-1 when out of grid / unoccupied / this row
+    is capacity padding)."""
+    nt = bs.grid_size // bs.tile
+    nt3 = nt * nt * nt
+    deltas = sign * _tile_deltas()
+
+    def one(ijk, lookup, tmask):
+        nijk = ijk[:, None, :] + deltas[None, :, :]      # (NT, 27, 3)
+        inb = jnp.all((nijk >= 0) & (nijk < nt), axis=-1) & tmask[:, None]
+        nflat = (nijk[..., 0] * nt + nijk[..., 1]) * nt + nijk[..., 2]
+        return lookup[jnp.where(inb, nflat, nt3)]        # (NT, 27)
+
+    return jax.vmap(one)(bs.tile_ijk, bs.lookup, bs.tile_mask)
+
+
+def _provider_slice(t: int, d: int) -> slice:
+    """The sub-block of the PROVIDER tile a delta-d reader needs."""
+    return {-1: slice(t - 1, t), 0: slice(None), 1: slice(0, 1)}[d]
+
+
+def _halo_slice(t: int, d: int) -> slice:
+    """Where delta-d data lands in the reader's (t+2)^3 halo block."""
+    return {-1: slice(0, 1), 0: slice(1, t + 1), 1: slice(t + 1, t + 2)}[d]
+
+
+def _row_gather(x: jax.Array, rows: jax.Array) -> jax.Array:
+    """vmapped sentinel-padded row gather: x (B, NT, ...), rows (B, NT)
+    with -1 reading zeros."""
+    def one(xe, re):
+        xpad = jnp.concatenate([jnp.zeros_like(xe[:1]), xe], axis=0)
+        return xpad[re + 1]
+
+    return jax.vmap(one)(x, rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_halo_slots(feats: jax.Array, slot: jax.Array, t: int):
     """(B, NT, t+2, t+2, t+2, C) halo blocks via sliced neighbor gathers.
 
-    feats: (B, NT, t, t, t, C) current layer features (may differ from
-    bs.feats in C). Capacity-padding and out-of-grid neighbors read the
-    all-zero sentinel row.
+    feats: (B, NT, t, t, t, C) current layer features; slot: (B, NT, 27)
+    neighbor slot table from ``_neighbor_slots(bs, +1)``. Capacity
+    padding and out-of-grid neighbors read the all-zero sentinel row.
 
     Each of the 26 neighbor deltas gathers only the sub-block the halo
     actually needs (face t^2, edge t, corner 1 voxel columns) from a
@@ -127,21 +166,16 @@ def _gather_halo(bs: BlockSparseVoxels, feats: jax.Array) -> jax.Array:
     gather) — assembling full 3^3 neighbor supertiles first was 13.8x
     the halo volume in HBM traffic (measured 17.7 ms vs 6.9 dense at
     R=64/C=64; this form moves ~halo-sized data only).
+
+    CUSTOM VJP: the autodiff transpose of the 26 row gathers is 26
+    scatter-adds, which serialize on TPU (the r4 xplane profile of the
+    block U-Net backward). The neighbor relation is symmetric, so the
+    adjoint is instead computed as 26 REVERSED gathers: provider p's
+    sub-block cotangent is the halo-region cotangent of the reader at
+    ``pos(p) - delta``, looked up through the same slot machinery with
+    negated deltas, accumulated with static-slice adds.
     """
-    t = bs.tile
-    nt = bs.grid_size // t
-    nt3 = nt * nt * nt
-    deltas = _tile_deltas()                              # (27, 3)
-
-    def sl(d):
-        return {-1: slice(t - 1, t), 0: slice(None), 1: slice(0, 1)}[d]
-
-    def one(ijk, f, lookup, tmask):
-        nijk = ijk[:, None, :] + deltas[None, :, :]      # (NT, 27, 3)
-        inb = jnp.all((nijk >= 0) & (nijk < nt), axis=-1) & tmask[:, None]
-        nflat = (nijk[..., 0] * nt + nijk[..., 1]) * nt + nijk[..., 2]
-        slot = lookup[jnp.where(inb, nflat, nt3)]        # (NT, 27), -1 empty
-        # sentinel row 0 of each padded table is zeros; shift slots by +1
+    def one(f, s):
         fpad = jnp.concatenate([jnp.zeros_like(f[:1]), f], axis=0)
         parts_z = []
         for iz, dz in enumerate((-1, 0, 1)):
@@ -153,13 +187,60 @@ def _gather_halo(bs: BlockSparseVoxels, feats: jax.Array) -> jax.Array:
                         parts_x.append(f)
                         continue
                     d_idx = iz * 9 + iy * 3 + ix
-                    src = fpad[:, sl(dz), :, :][:, :, sl(dy)][:, :, :, sl(dx)]
-                    parts_x.append(src[slot[:, d_idx] + 1])
+                    src = fpad[:, _provider_slice(t, dz), :, :][
+                        :, :, _provider_slice(t, dy)
+                    ][:, :, :, _provider_slice(t, dx)]
+                    parts_x.append(src[s[:, d_idx] + 1])
                 parts_y.append(jnp.concatenate(parts_x, axis=3))
             parts_z.append(jnp.concatenate(parts_y, axis=2))
         return jnp.concatenate(parts_z, axis=1)
 
-    return jax.vmap(one)(bs.tile_ijk, feats, bs.lookup, bs.tile_mask)
+    return jax.vmap(one)(feats, slot)
+
+
+def _gather_halo_fwd(feats, slot, t):
+    return _gather_halo_slots(feats, slot, t), slot
+
+
+def _gather_halo_bwd(t, res, g):
+    slot = res
+    # rev[:, :, d_idx] = slot of the reader at pos - delta[d_idx]; built
+    # from the forward slot table by delta symmetry: reading the REVERSED
+    # delta index gives pos + (-delta), and _tile_deltas is ordered so
+    # index 26 - d_idx is the negated delta.
+    rev = slot[:, :, ::-1]
+    # center region of the reader's own halo cotangent
+    df = g[:, :, 1:-1, 1:-1, 1:-1, :]
+    for iz, dz in enumerate((-1, 0, 1)):
+        for iy, dy in enumerate((-1, 0, 1)):
+            for ix, dx in enumerate((-1, 0, 1)):
+                if dz == dy == dx == 0:
+                    continue
+                d_idx = iz * 9 + iy * 3 + ix
+                region = g[
+                    :, :, _halo_slice(t, dz), :, :
+                ][:, :, :, _halo_slice(t, dy)][
+                    :, :, :, :, _halo_slice(t, dx)
+                ]
+                contrib = _row_gather(region, rev[:, :, d_idx])
+                df = df.at[
+                    :, :,
+                    _provider_slice(t, dz),
+                    _provider_slice(t, dy),
+                    _provider_slice(t, dx),
+                    :,
+                ].add(contrib)
+    import numpy as np
+
+    return (df, np.zeros(slot.shape, jax.dtypes.float0))
+
+
+_gather_halo_slots.defvjp(_gather_halo_fwd, _gather_halo_bwd)
+
+
+def _gather_halo(bs: BlockSparseVoxels, feats: jax.Array) -> jax.Array:
+    """See _gather_halo_slots; this wrapper builds the slot table."""
+    return _gather_halo_slots(feats, _neighbor_slots(bs, +1), bs.tile)
 
 
 def block_subm_conv(
@@ -311,41 +392,162 @@ def block_pool(
     return bsc, slots
 
 
+# -- octant pack / unpack: the two child<->parent data movements of the
+# tile hierarchy, as mutually-adjoint custom-VJP gathers. Their autodiff
+# transposes are row scatter-adds (serialize on TPU — dominated the r4
+# block-U-Net profile); since each real fine tile maps to exactly one
+# (parent, octant), the adjoint of each is the OTHER's gather.
+
+def _parent_rows(bs_coarse: BlockSparseVoxels, bs_fine: BlockSparseVoxels):
+    """(B, NTf) parent slot (-1 when dropped/padding) and (B, NTf)
+    octant index of each fine tile within its parent."""
+    ntcg = bs_coarse.grid_size // bs_coarse.tile
+    ntc3 = ntcg * ntcg * ntcg
+
+    def one(ijk_f, fmask, lookup_c):
+        pflat = (
+            (ijk_f[:, 0] // 2) * ntcg + ijk_f[:, 1] // 2
+        ) * ntcg + ijk_f[:, 2] // 2
+        pflat = jnp.where(fmask, pflat, ntc3)
+        pslot = lookup_c[pflat]
+        octant = (
+            (ijk_f[:, 0] % 2) * 4 + (ijk_f[:, 1] % 2) * 2 + ijk_f[:, 2] % 2
+        )
+        return pslot, octant
+
+    return jax.vmap(one)(
+        bs_fine.tile_ijk, bs_fine.tile_mask, bs_coarse.lookup
+    )
+
+
+def _octant_pack_raw(ych, child_slots, th):
+    """(B, NTf, th,th,th, C) + (B, NTc, 8) -> (B, NTc, 2th,^3, C):
+    assemble each parent's 8 octants from its children (zeros where a
+    child is absent)."""
+    ntc = child_slots.shape[1]
+    c = ych.shape[-1]
+
+    def one(y, slots):
+        ch = _row_gather_flat(y, slots.reshape(-1)).reshape(
+            ntc, 2, 2, 2, th, th, th, c
+        )
+        asm = ch.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return asm.reshape(ntc, 2 * th, 2 * th, 2 * th, c)
+
+    return jax.vmap(one)(ych, child_slots)
+
+
+def _octant_unpack_raw(cf, pslot, octant, th):
+    """(B, NTc, 2th,^3, C) + (B, NTf) x2 -> (B, NTf, th,th,th, C): each
+    fine tile reads its parent's octant sub-block (zeros when absent)."""
+    c = cf.shape[-1]
+
+    def one(x, ps, oc):
+        ntc = x.shape[0]
+        oct_ = x.reshape(ntc, 2, th, 2, th, 2, th, c)
+        oct_ = oct_.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        oct_ = oct_.reshape(ntc * 8, th, th, th, c)
+        row = jnp.where(ps >= 0, ps * 8 + oc, -1)
+        return _row_gather_flat(oct_, row)
+
+    return jax.vmap(one)(cf, pslot, octant)
+
+
+def _row_gather_flat(x, rows):
+    """Sentinel-padded row gather on a single event: x (N, ...),
+    rows (M,) with -1 reading zeros."""
+    xpad = jnp.concatenate([jnp.zeros_like(x[:1]), x], axis=0)
+    return xpad[rows + 1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _octant_pack(ych, child_slots, pslot, octant, th):
+    return _octant_pack_raw(ych, child_slots, th)
+
+
+def _octant_pack_fwd(ych, child_slots, pslot, octant, th):
+    return _octant_pack_raw(ych, child_slots, th), (child_slots, pslot,
+                                                    octant)
+
+
+def _octant_pack_bwd(th, res, g):
+    import numpy as np
+
+    child_slots, pslot, octant = res
+    dy = _octant_unpack_raw(g, pslot, octant, th)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return dy, f0(child_slots), f0(pslot), f0(octant)
+
+
+_octant_pack.defvjp(_octant_pack_fwd, _octant_pack_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _octant_unpack(cf, pslot, octant, child_slots, th):
+    return _octant_unpack_raw(cf, pslot, octant, th)
+
+
+def _octant_unpack_fwd(cf, pslot, octant, child_slots, th):
+    return _octant_unpack_raw(cf, pslot, octant, th), (pslot, octant,
+                                                       child_slots)
+
+
+def _octant_unpack_bwd(th, res, g):
+    import numpy as np
+
+    pslot, octant, child_slots = res
+    dc = _octant_pack_raw(g, child_slots, th)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return dc, f0(pslot), f0(octant), f0(child_slots)
+
+
+_octant_unpack.defvjp(_octant_unpack_fwd, _octant_unpack_bwd)
+
+
 def block_down2x(
     p: dict,
     feats: jax.Array,
     bs_coarse: BlockSparseVoxels,
     child_slots: jax.Array,
     compute_dtype=None,
+    bs_fine: BlockSparseVoxels | None = None,
 ) -> jax.Array:
     """Stride-2 k=2 conv fine tiles -> coarse tiles.
 
     feats: (B, NTf, t, t, t, Cin) fine features; p["kernel"]
     (2, 2, 2, Cin, Cout) — same params as ops/conv3d.py conv3d(stride=2).
     Returns (B, NTc, t, t, t, Cout) masked to the pooled active set.
+
+    r4 formulation: the k=2/s=2 windows never cross child-tile
+    boundaries (children are t-aligned, t even), so the conv runs on the
+    FINE tiles (occupied only) and each parent's (t/2)^3 octants are
+    assembled afterwards — 1/8 the conv FLOPs and HBM traffic of
+    assembling dense (2t)^3 supertiles first (which moved 268 MB/step at
+    the r4 bench config and cost a serializing scatter in the backward).
+    Pass ``bs_fine`` to enable the gather-adjoint backward (_octant_pack);
+    without it the assembly gather falls back to the autodiff scatter.
     """
     dt = compute_dtype or feats.dtype
     t = bs_coarse.tile
-    b, ntc = child_slots.shape[:2]
+    th = t // 2
+    b, ntf = feats.shape[:2]
     cin = feats.shape[-1]
     cout = p["kernel"].shape[-1]
 
-    def one(f, slots):
-        fpad = jnp.concatenate([jnp.zeros_like(f[:1]), f], axis=0)
-        ch = fpad[slots + 1]                          # (NTc, 8, t,t,t,Cin)
-        asm = ch.reshape(ntc, 2, 2, 2, t, t, t, cin)
-        asm = asm.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-        return asm.reshape(ntc, 2 * t, 2 * t, 2 * t, cin)
-
-    asm = jax.vmap(one)(feats, child_slots)
     y = jax.lax.conv_general_dilated(
-        asm.reshape(b * ntc, 2 * t, 2 * t, 2 * t, cin).astype(dt),
+        feats.reshape(b * ntf, t, t, t, cin).astype(dt),
         p["kernel"].astype(dt),
         window_strides=(2, 2, 2),
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ).astype(jnp.float32).reshape(b, ntc, t, t, t, cout) + p["bias"]
-    return jnp.where(bs_coarse.active[..., None], y, 0.0)
+    ).reshape(b, ntf, th, th, th, cout)
+    if bs_fine is not None:
+        pslot, octant = _parent_rows(bs_coarse, bs_fine)
+        asm = _octant_pack(y, child_slots, pslot, octant, th)
+    else:
+        asm = _octant_pack_raw(y, child_slots, th)
+    out = asm.astype(jnp.float32) + p["bias"]
+    return jnp.where(bs_coarse.active[..., None], out, 0.0)
 
 
 def block_up2x(
@@ -354,52 +556,37 @@ def block_up2x(
     bs_coarse: BlockSparseVoxels,
     bs_fine: BlockSparseVoxels,
     compute_dtype=None,
+    child_slots: jax.Array | None = None,
 ) -> jax.Array:
     """Stride-2 k=2 TRANSPOSED conv coarse tiles -> fine tiles.
 
     cfeats: (B, NTc, t, t, t, Cin); p["kernel"] (2, 2, 2, Cin, Cout) —
     same params as ops/conv3d.py conv3d_transpose (which places
     x[i'] @ w[1-dz,1-dy,1-dx] at output 2i'+dz). Each fine tile reads its
-    parent's octant sub-block (one row gather from an octant-split
-    table). Returns (B, NTf, t, t, t, Cout) masked to the fine active
-    set. Requires even t.
+    parent's octant sub-block via ``_octant_unpack`` (one row gather from
+    an octant-split table; with ``child_slots`` the backward is the
+    adjoint _octant_pack GATHER instead of a serializing scatter-add).
+    Returns (B, NTf, t, t, t, Cout) masked to the fine active set.
+    Requires even t.
     """
     dt = compute_dtype or cfeats.dtype
     t = bs_fine.tile
     th = t // 2
-    ntcg = bs_coarse.grid_size // t                   # coarse tile-grid edge
-    ntc3 = ntcg * ntcg * ntcg
-    cin = cfeats.shape[-1]
     cout = p["kernel"].shape[-1]
     wflip = jnp.flip(p["kernel"], axis=(0, 1, 2))     # (2,2,2,Cin,Cout)
 
-    def one(cf, lookup_c, ijk_f, fmask):
-        ntc = cf.shape[0]
-        # octant-split view: (NTc*8, th, th, th, Cin), octant index
-        # o = dz*4 + dy*2 + dx of the PARENT's (2x2x2 of th-cubes)
-        oct_ = cf.reshape(ntc, 2, th, 2, th, 2, th, cin)
-        oct_ = oct_.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-        oct_ = oct_.reshape(ntc * 8, th, th, th, cin)
-        opad = jnp.concatenate([jnp.zeros_like(oct_[:1]), oct_], axis=0)
-        pflat = (
-            (ijk_f[:, 0] // 2) * ntcg + ijk_f[:, 1] // 2
-        ) * ntcg + ijk_f[:, 2] // 2
-        pflat = jnp.where(fmask, pflat, ntc3)
-        pslot = lookup_c[pflat]                       # (NTf,), -1 if none
-        octant = (
-            (ijk_f[:, 0] % 2) * 4 + (ijk_f[:, 1] % 2) * 2 + ijk_f[:, 2] % 2
-        )
-        row = jnp.where(pslot >= 0, pslot * 8 + octant, -1)
-        sub = opad[row + 1]                           # (NTf, th, th, th, Cin)
-        # expand: fine[2a+dz, 2b+dy, 2c+dx] = sub[a,b,c] @ wflip[dz,dy,dx]
-        y = jnp.einsum(
-            "nabci,zyxio->nazbycxo",
-            sub.astype(dt), wflip.astype(dt),
-            preferred_element_type=jnp.float32,
-        )
-        return y.reshape(-1, t, t, t, cout)
+    pslot, octant = _parent_rows(bs_coarse, bs_fine)
+    if child_slots is not None:
+        sub = _octant_unpack(cfeats, pslot, octant, child_slots, th)
+    else:
+        sub = _octant_unpack_raw(cfeats, pslot, octant, th)
 
-    y = jax.vmap(one)(
-        cfeats, bs_coarse.lookup, bs_fine.tile_ijk, bs_fine.tile_mask
-    ).astype(jnp.float32) + p["bias"]
+    # expand: fine[2a+dz, 2b+dy, 2c+dx] = sub[a,b,c] @ wflip[dz,dy,dx]
+    y = jnp.einsum(
+        "Bnabci,zyxio->Bnazbycxo",
+        sub.astype(dt), wflip.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    y = y.reshape(sub.shape[0], sub.shape[1], t, t, t, cout)
+    y = y.astype(jnp.float32) + p["bias"]
     return jnp.where(bs_fine.active[..., None], y, 0.0)
