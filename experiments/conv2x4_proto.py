@@ -249,22 +249,28 @@ def bench():
     zeros = jnp.zeros((B, LANES), jnp.float32)
     bias = jnp.zeros((C,), jnp.float32)
 
-    @jax.jit
-    def run24(xp):
-        y = xp
-        for _ in range(6):
-            y = conv24(y, w, u4)
-        return y
+    def make24(n):
+        @jax.jit
+        def run(xp):
+            y = xp
+            for _ in range(n):
+                y = conv24(y, w, u4)
+            return y
+        return run
 
-    @jax.jit
-    def run18(xp):
-        y = xp
-        for _ in range(6):
-            y = fused_conv3x3_p(y, w, bias, zeros, zeros, meta, False,
-                                False)
-        return y
+    def make18(n):
+        @jax.jit
+        def run(xp):
+            y = xp
+            for _ in range(n):
+                y = fused_conv3x3_p(y, w, bias, zeros, zeros, meta, False,
+                                    False)
+            return y
+        return run
 
-    for name, fn, arg in (("2x4", run24, xp24), ("1x8", run18, xp18)):
+    SHORT, LONG = 8, 40
+
+    def measure(fn, arg):
         out = fn(arg)
         float(out.reshape(-1)[0])
         best = float("inf")
@@ -273,8 +279,14 @@ def bench():
             out = fn(arg)
             float(out.reshape(-1)[0])
             best = min(best, time.perf_counter() - t0)
-        print(f"{name}: {best / 6 * 1e3:.3f} ms per conv "
-              f"(6 chained, best of 5)")
+        return best
+
+    # differential timing cancels the relay's fixed per-call sync
+    for name, make, arg in (("2x4", make24, xp24), ("1x8", make18, xp18)):
+        t_s = measure(make(SHORT), arg)
+        t_l = measure(make(LONG), arg)
+        print(f"{name}: {(t_l - t_s) / (LONG - SHORT) * 1e3:.3f} ms per "
+              f"conv (differential {LONG}-{SHORT})")
 
 
 if __name__ == "__main__":
