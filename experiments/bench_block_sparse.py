@@ -149,8 +149,12 @@ def bench_model():
     pts, mask = track_events(rng, B, M)
     labels = jnp.asarray(rng.integers(0, 4, size=(B, M)))
 
-    for impl, kw in [("dense", {}),
-                     ("block", dict(tile=8, max_tiles=64))]:
+    for label, impl, kw in [
+        ("dense", "dense", {}),
+        ("block", "block", dict(tile=8, max_tiles=64)),
+        ("block+sched", "block", dict(tile=8, max_tiles=64,
+                                      max_tiles_schedule=(64, 32))),
+    ]:
         m = SparseVoxelNet(num_classes=4, grid_size=R, width=C, depth=4,
                            levels=2, impl=impl,
                            compute_dtype="bfloat16", **kw)
@@ -171,7 +175,8 @@ def bench_model():
             return p + tot.astype(p.dtype) * 1e-9
 
         t = timed(fb, pts)
-        print(f"SparseVoxelNet L2 d4 w{C} {impl:6s} train f+b {t:8.2f} ms")
+        print(f"SparseVoxelNet L2 d4 w{C} {label:12s} train f+b "
+              f"{t:8.2f} ms")
 
 
 if __name__ == "__main__":

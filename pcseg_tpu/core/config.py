@@ -80,6 +80,11 @@ class ModelConfig:
     # per event and tile edge (ops/block_sparse.py)
     max_tiles: int = 128
     tile: int = 8
+    # optional per-level tile capacities, level 0 first (e.g. "64,32"):
+    # coarse levels occupy at most as many tiles as fine ones and
+    # usually far fewer, so a shrinking schedule cuts the deep levels'
+    # padded compute; overflow at every level stays counted/surfaced
+    max_tiles_schedule: tuple = ()
     # sparse capacity policy: overflow (occupied sites/tiles beyond
     # max_active/max_tiles) is always COUNTED and logged; strict_capacity
     # turns a nonzero count into a hard error (train loop + Predictor)

@@ -49,6 +49,7 @@ def build_model(cfg: ModelConfig, num_classes: int):
             impl=cfg.impl,
             max_tiles=cfg.max_tiles,
             tile=cfg.tile,
+            max_tiles_schedule=tuple(cfg.max_tiles_schedule),
             levels=cfg.levels or 1,
             compute_dtype=cfg.compute_dtype,
             voxelize_impl=cfg.voxelize_impl,

@@ -54,6 +54,14 @@ class SparseVoxelNet:
     # block impl: static per-event occupied-tile capacity and tile edge
     max_tiles: int = 128
     tile: int = 8
+    # optional per-level tile capacities (level 0 first). A coarse level
+    # occupies at most as many tiles as the fine one and usually far
+    # fewer (measured track events: 36 fine -> 19 coarse at R64/t8), so
+    # inheriting the full cap pads the expensive deep levels 2-4x.
+    # Empty = max_tiles at every level; capacity exhaustion at ANY level
+    # is counted and surfaced (dropped counters / strict_capacity), so
+    # schedules are safe to tune per dataset.
+    max_tiles_schedule: tuple = ()
     # U-Net hierarchy (all three impls): levels > 1 adds stride-2
     # downsampling stages whose occupancy is the 2^3-pooled active set,
     # with skip connections back up — a sparse U-Net where every
@@ -70,6 +78,15 @@ class SparseVoxelNet:
     @property
     def in_channels(self) -> int:
         return self.input_dim - 3 + 1
+
+    def _tile_cap(self, lv: int) -> int:
+        """Static occupied-tile capacity for hierarchy level ``lv``."""
+        if self.max_tiles_schedule:
+            return int(
+                self.max_tiles_schedule[min(lv,
+                                            len(self.max_tiles_schedule) - 1)]
+            )
+        return self.max_tiles
 
     def init(self, key: jax.Array) -> dict:
         keys = iter(jax.random.split(key, 4 * self.depth * self.levels + 8))
@@ -223,10 +240,10 @@ class SparseVoxelNet:
                 block_sparse_from_grid,
             )
 
-            bs = block_sparse_from_grid(g0, self.max_tiles, self.tile)
+            bs = block_sparse_from_grid(g0, self._tile_cap(0), self.tile)
             dropped = bs.dropped
-            for _ in range(1, self.levels):
-                bs, _slots = block_pool(bs, self.max_tiles)
+            for lv in range(1, self.levels):
+                bs, _slots = block_pool(bs, self._tile_cap(lv))
                 dropped = dropped + bs.dropped
             return dropped
         sp = sparse_from_grid(g0, self.max_active)
@@ -260,7 +277,7 @@ class SparseVoxelNet:
             block_up2x,
         )
 
-        bs = block_sparse_from_grid(grid, self.max_tiles, self.tile)
+        bs = block_sparse_from_grid(grid, self._tile_cap(0), self.tile)
         dropped = bs.dropped
         x = self._block_stack(p, "", bs.feats.astype(dt), bs, dt)
 
@@ -268,7 +285,7 @@ class SparseVoxelNet:
             skips, bss, slot_tables = [x], [bs], [None]
             cur = bs
             for lv in range(1, self.levels):
-                bsc, slots = block_pool(cur, self.max_tiles)
+                bsc, slots = block_pool(cur, self._tile_cap(lv))
                 dropped = dropped + bsc.dropped
                 h = block_down2x(
                     p[f"down{lv}"], skips[-1], bsc, slots, compute_dtype=dt,

@@ -137,22 +137,6 @@ def _provider_slice(t: int, d: int) -> slice:
     return {-1: slice(t - 1, t), 0: slice(None), 1: slice(0, 1)}[d]
 
 
-def _halo_slice(t: int, d: int) -> slice:
-    """Where delta-d data lands in the reader's (t+2)^3 halo block."""
-    return {-1: slice(0, 1), 0: slice(1, t + 1), 1: slice(t + 1, t + 2)}[d]
-
-
-def _row_gather(x: jax.Array, rows: jax.Array) -> jax.Array:
-    """vmapped sentinel-padded row gather: x (B, NT, ...), rows (B, NT)
-    with -1 reading zeros."""
-    def one(xe, re):
-        xpad = jnp.concatenate([jnp.zeros_like(xe[:1]), xe], axis=0)
-        return xpad[re + 1]
-
-    return jax.vmap(one)(x, rows)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _gather_halo_slots(feats: jax.Array, slot: jax.Array, t: int):
     """(B, NT, t+2, t+2, t+2, C) halo blocks via sliced neighbor gathers.
 
@@ -167,13 +151,15 @@ def _gather_halo_slots(feats: jax.Array, slot: jax.Array, t: int):
     the halo volume in HBM traffic (measured 17.7 ms vs 6.9 dense at
     R=64/C=64; this form moves ~halo-sized data only).
 
-    CUSTOM VJP: the autodiff transpose of the 26 row gathers is 26
-    scatter-adds, which serialize on TPU (the r4 xplane profile of the
-    block U-Net backward). The neighbor relation is symmetric, so the
-    adjoint is instead computed as 26 REVERSED gathers: provider p's
-    sub-block cotangent is the halo-region cotangent of the reader at
-    ``pos(p) - delta``, looked up through the same slot machinery with
-    negated deltas, accumulated with static-slice adds.
+    The backward is XLA's autodiff transpose (row scatter-adds). A
+    hand-written gather adjoint (26 reversed gathers through the
+    negated-delta slot table) was built and MEASURED in r4 — it is
+    mathematically exact but 20 ms/step SLOWER at the bench config: the
+    custom-vjp boundary defuses the halo assembly from its consumers
+    (the per-consumer layout fusions become explicit ~0.54 ms copies of
+    every (B, NT, 10^3, C) halo) and the 26 backward region gathers
+    don't beat the single fused scatter kernel XLA emits. Kept out;
+    the octant pack/unpack adjoints below DID win and stay.
     """
     def one(f, s):
         fpad = jnp.concatenate([jnp.zeros_like(f[:1]), f], axis=0)
@@ -196,46 +182,6 @@ def _gather_halo_slots(feats: jax.Array, slot: jax.Array, t: int):
         return jnp.concatenate(parts_z, axis=1)
 
     return jax.vmap(one)(feats, slot)
-
-
-def _gather_halo_fwd(feats, slot, t):
-    return _gather_halo_slots(feats, slot, t), slot
-
-
-def _gather_halo_bwd(t, res, g):
-    slot = res
-    # rev[:, :, d_idx] = slot of the reader at pos - delta[d_idx]; built
-    # from the forward slot table by delta symmetry: reading the REVERSED
-    # delta index gives pos + (-delta), and _tile_deltas is ordered so
-    # index 26 - d_idx is the negated delta.
-    rev = slot[:, :, ::-1]
-    # center region of the reader's own halo cotangent
-    df = g[:, :, 1:-1, 1:-1, 1:-1, :]
-    for iz, dz in enumerate((-1, 0, 1)):
-        for iy, dy in enumerate((-1, 0, 1)):
-            for ix, dx in enumerate((-1, 0, 1)):
-                if dz == dy == dx == 0:
-                    continue
-                d_idx = iz * 9 + iy * 3 + ix
-                region = g[
-                    :, :, _halo_slice(t, dz), :, :
-                ][:, :, :, _halo_slice(t, dy)][
-                    :, :, :, :, _halo_slice(t, dx)
-                ]
-                contrib = _row_gather(region, rev[:, :, d_idx])
-                df = df.at[
-                    :, :,
-                    _provider_slice(t, dz),
-                    _provider_slice(t, dy),
-                    _provider_slice(t, dx),
-                    :,
-                ].add(contrib)
-    import numpy as np
-
-    return (df, np.zeros(slot.shape, jax.dtypes.float0))
-
-
-_gather_halo_slots.defvjp(_gather_halo_fwd, _gather_halo_bwd)
 
 
 def _gather_halo(bs: BlockSparseVoxels, feats: jax.Array) -> jax.Array:

@@ -215,77 +215,69 @@ def test_sparse_model_block_unet_trains():
     assert float(jnp.sum(jnp.abs(g["up1"]["kernel"]))) > 0
 
 
-def test_gather_halo_custom_vjp_matches_autodiff_transpose():
-    """The gather-based halo backward (26 reversed gathers instead of 26
-    scatter-adds) must produce the exact autodiff-transpose gradient,
-    both wrt the conv input features and through a whole conv layer."""
+def test_octant_adjoints_match_autodiff_transpose():
+    """The child->parent assembly (_octant_pack) and parent->child octant
+    read (_octant_unpack) are mutual adjoints: their custom-VJP gathers
+    must produce the exact autodiff-transpose gradients of the raw
+    formulations."""
     from pcseg_tpu.ops.block_sparse import (
-        _gather_halo_slots,
-        _neighbor_slots,
+        _octant_pack,
+        _octant_pack_raw,
+        _octant_unpack,
+        _octant_unpack_raw,
+        _parent_rows,
+        block_pool,
     )
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(8)
     pts, mask = _event_batch(rng)
     grid = voxelize(pts, mask, 16)
     bs = block_sparse_from_grid(grid, max_tiles=48, tile=4)
+    bsc, slots = block_pool(bs, 24)
+    th = bs.tile // 2
     c = 8
-    feats = jnp.asarray(
-        rng.normal(size=bs.feats.shape[:-1] + (c,)), jnp.float32
+    pslot, octant = _parent_rows(bsc, bs)
+
+    ych = jnp.asarray(
+        rng.normal(size=bs.feats.shape[:2] + (th, th, th, c)), jnp.float32
     )
-    slot = _neighbor_slots(bs, +1)
-    cot = jnp.asarray(
-        rng.normal(size=bs.feats.shape[:2] + (6, 6, 6, c)), jnp.float32
+    cot_c = jnp.asarray(
+        rng.normal(size=slots.shape[:2] + (2 * th,) * 3 + (c,)), jnp.float32
     )
 
-    def with_custom(f):
-        return jnp.sum(_gather_halo_slots(f, slot, bs.tile) * cot)
+    def pack_custom(y):
+        return jnp.sum(_octant_pack(y, slots, pslot, octant, th) * cot_c)
 
-    def with_autodiff(f):
-        # the same forward WITHOUT the custom vjp: rebuilt inline so
-        # jax derives the scatter-add transpose
-        t = bs.tile
+    def pack_raw(y):
+        return jnp.sum(_octant_pack_raw(y, slots, th) * cot_c)
 
-        def one(fe, se):
-            fpad = jnp.concatenate([jnp.zeros_like(fe[:1]), fe], axis=0)
-            sl = lambda d: {  # noqa: E731
-                -1: slice(t - 1, t), 0: slice(None), 1: slice(0, 1)
-            }[d]
-            pz = []
-            for iz, dz in enumerate((-1, 0, 1)):
-                py = []
-                for iy, dy in enumerate((-1, 0, 1)):
-                    px = []
-                    for ix, dx in enumerate((-1, 0, 1)):
-                        if dz == dy == dx == 0:
-                            px.append(fe)
-                            continue
-                        d_idx = iz * 9 + iy * 3 + ix
-                        src = fpad[:, sl(dz), :, :][:, :, sl(dy)][
-                            :, :, :, sl(dx)
-                        ]
-                        px.append(src[se[:, d_idx] + 1])
-                    py.append(jnp.concatenate(px, axis=3))
-                pz.append(jnp.concatenate(py, axis=2))
-            return jnp.concatenate(pz, axis=1)
-
-        return jnp.sum(jax.vmap(one)(f, slot) * cot)
-
-    # forward parity
     np.testing.assert_allclose(
-        float(with_custom(feats)), float(with_autodiff(feats)), rtol=1e-6
+        float(pack_custom(ych)), float(pack_raw(ych)), rtol=1e-6
     )
-    g_custom = jax.grad(with_custom)(feats)
-    g_ref = jax.grad(with_autodiff)(feats)
     np.testing.assert_allclose(
-        np.asarray(g_custom), np.asarray(g_ref), atol=1e-5, rtol=1e-5
+        np.asarray(jax.grad(pack_custom)(ych)),
+        np.asarray(jax.grad(pack_raw)(ych)),
+        atol=1e-5, rtol=1e-5,
     )
 
-    # end-to-end through a conv layer
-    p = subm_conv_init(jax.random.key(1), c, c)
+    cf = jnp.asarray(
+        rng.normal(size=slots.shape[:2] + (2 * th,) * 3 + (c,)), jnp.float32
+    )
+    cot_f = jnp.asarray(
+        rng.normal(size=bs.feats.shape[:2] + (th, th, th, c)), jnp.float32
+    )
 
-    def loss(f):
-        return jnp.sum(block_subm_conv(p, bs, feats=f) ** 2)
+    def unpack_custom(x):
+        return jnp.sum(_octant_unpack(x, pslot, octant, slots, th) * cot_f)
 
-    g = jax.grad(loss)(feats)
-    assert np.all(np.isfinite(np.asarray(g)))
-    assert float(jnp.sum(jnp.abs(g))) > 0
+    def unpack_raw(x):
+        return jnp.sum(_octant_unpack_raw(x, pslot, octant, th) * cot_f)
+
+    np.testing.assert_allclose(
+        float(unpack_custom(cf)), float(unpack_raw(cf)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(unpack_custom)(cf)),
+        np.asarray(jax.grad(unpack_raw)(cf)),
+        atol=1e-5, rtol=1e-5,
+    )
