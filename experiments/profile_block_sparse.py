@@ -29,6 +29,7 @@ from experiments.bench_block_sparse import (  # noqa: E402
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    cap1 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     from pcseg_tpu.models.sparse_unet import SparseVoxelNet
 
     rng = np.random.default_rng(0)
@@ -37,6 +38,7 @@ def main():
 
     m = SparseVoxelNet(num_classes=4, grid_size=R, width=C, depth=4,
                        levels=2, impl="block", tile=8, max_tiles=cap,
+                       max_tiles_schedule=(cap, cap1) if cap1 else (),
                        compute_dtype="bfloat16")
     v = m.init(jax.random.key(0))
 

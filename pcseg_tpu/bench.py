@@ -158,6 +158,72 @@ def bench_voxel_jax() -> float:
     return dt / ITERS * 1e3  # ms/step (whole mesh; per-chip B is VOX_BATCH)
 
 
+def _track_batch(rng, b, m):
+    """LArTPC-like track events (the sparse family's workload: points on
+    a few line segments, ~0.1% voxel occupancy at R64)."""
+    pts = []
+    for _ in range(b):
+        k = 4
+        seg = []
+        for _ in range(k):
+            a, d = rng.random(3), rng.normal(size=3)
+            d /= np.linalg.norm(d)
+            s = np.linspace(0, 1, m // k + 1)[:, None]
+            seg.append(a + s * d * 0.8)
+        p = np.concatenate(seg)[:m]
+        e = rng.random((m, 1))
+        pts.append(np.concatenate([np.clip(p, 0, 1), e], axis=1))
+    return np.stack(pts).astype(np.float32)
+
+
+def bench_sparse_jax() -> tuple[float, int]:
+    """(ms/step, dropped tiles) of the THIRD flagship family: the
+    block-sparse submanifold U-Net train step (voxelize -> occupied-tile
+    hierarchy -> per-point readout -> CE -> Adam) on track events at
+    R64/w64/d4/levels2, per-level capacities (64, 32) — the r4 BASELINE
+    config; a nonzero dropped count would invalidate the number."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+    from pcseg_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state, make_train_step
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(MeshSpec(data=n_dev))
+    model = SparseVoxelNet(
+        num_classes=CLASSES, grid_size=VOX_GRID, width=64, depth=4,
+        levels=2, impl="block", tile=8, max_tiles=64,
+        max_tiles_schedule=(64, 32), compute_dtype="bfloat16",
+    )
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    train_step = make_train_step(model, tx, mesh, donate=True)
+
+    rng = np.random.default_rng(0)
+    b = VOX_BATCH * max(1, n_dev)
+    points = _track_batch(rng, b, VOX_POINTS)
+    labels = rng.integers(0, CLASSES, size=(b, VOX_POINTS)).astype(np.int64)
+    masks = np.ones((b, VOX_POINTS), bool)
+    batch = shard_batch(
+        mesh, (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks))
+    )
+    lr = jnp.float32(1e-3)
+    cw = jnp.ones((CLASSES,), jnp.float32)
+    keys = [jax.random.key(i) for i in range(WARMUP + ITERS)]
+
+    for i in range(WARMUP):
+        state, metrics = train_step(state, batch, lr, keys[i], cw)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = train_step(state, batch, lr, keys[WARMUP + i], cw)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return dt / ITERS * 1e3, int(metrics.get("dropped", 0))
+
+
 def bench_torch_cpu_reference() -> float | None:
     """The reference's architecture + step, PyTorch on CPU (pcs.py hot loop).
 
@@ -269,6 +335,25 @@ def main():
         )
     except Exception as e:  # never lose the headline metric to a voxel fault
         record["voxel_error"] = f"{type(e).__name__}: {e}"
+    try:
+        sp_ms, sp_dropped = bench_sparse_jax()
+        record.update(
+            {
+                "sparse_metric":
+                    "sparse_voxelnet_block_train_step_points_per_sec_per_chip",
+                "sparse_value": round(
+                    VOX_BATCH * VOX_POINTS / sp_ms * 1e3, 1
+                ),
+                "sparse_unit": "points/sec",
+                "sparse_ms_per_step": round(sp_ms, 2),
+                "sparse_dropped_tiles": sp_dropped,
+                "sparse_config":
+                    f"B{VOX_BATCH}x{VOX_POINTS} R{VOX_GRID} w64 d4 L2 "
+                    f"t8 caps(64,32) bf16 track-events",
+            }
+        )
+    except Exception as e:
+        record["sparse_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(record))
 
 
