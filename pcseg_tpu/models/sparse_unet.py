@@ -71,6 +71,9 @@ class SparseVoxelNet:
     # voxelizer implementation (ops/voxel.py voxelize): "auto" picks the
     # one-hot-matmul contraction below the measured R^3*(C+1) crossover
     voxelize_impl: str = "auto"
+    # fuse the LN+ReLU+mask chain into one Pallas kernel per direction
+    # (TPU only; CPU always uses the XLA form)
+    fused_ln: bool = True
     # duck-type compatibility knobs (unused)
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -325,8 +328,30 @@ class SparseVoxelNet:
             dropped,
         )
 
-    @staticmethod
-    def _ln_relu_mask(y, ln, active):
+    def _ln_relu_mask(self, y, ln, active):
+        # On TPU this whole chain is ONE Pallas kernel per direction
+        # (ops/pallas/fused_ln.py): the XLA form re-reads the (N, C)
+        # activations for the moment reductions, the normalize and the
+        # mask select — ~8 ms of the 45 ms block-U-Net step (r4 xplane
+        # profile). CPU (tests / virtual-mesh dryrun) keeps the XLA
+        # form: the interpreter can't evaluate vma-typed operands.
+        if (
+            self.fused_ln
+            and jax.default_backend() == "tpu"
+            and y.shape[-1] % 8 == 0
+        ):
+            from pcseg_tpu.ops.pallas.fused_ln import ln_relu_mask
+
+            c = y.shape[-1]
+            out = ln_relu_mask(
+                y.reshape(-1, c),
+                ln["scale"],
+                ln["bias"],
+                active.reshape(-1),
+                1e-5,
+                jnp.dtype(self.compute_dtype),
+            )
+            return out.reshape(y.shape)
         # single-pass moments (E[x^2] - E[x]^2): one read of y feeds both
         # reductions, halving the LN's HBM traffic vs the two-pass form
         # (the r4 block-U-Net profile showed the LN reduce/normalize

@@ -225,6 +225,65 @@ def block_subm_conv(
     return jnp.where(bs.active[..., None], y, 0.0)
 
 
+def _point_cells(bs: BlockSparseVoxels, points, mask):
+    """Per-point (tile slot, intra-voxel id): (B, M) int32 each. The
+    slot is the capacity sentinel NT for masked / out-of-grid /
+    dropped-tile points (their readout is zero)."""
+    t = bs.tile
+    r = bs.grid_size
+    nt = r // t
+    nt3 = nt * nt * nt
+    flat, _, _ = voxel_indices(points[..., :3], mask, r)
+    i, j, k = flat // (r * r), (flat // r) % r, flat % r
+    tid = ((i // t) * nt + (j // t)) * nt + (k // t)
+    tid = jnp.where(flat >= r * r * r, nt3, tid)
+    slot = jax.vmap(lambda lu, te: lu[te])(bs.lookup, tid)   # -1 if no tile
+    ntiles = bs.tile_ijk.shape[1]
+    slot = jnp.where(slot >= 0, slot, ntiles)
+    intra = ((i % t) * t + (j % t)) * t + (k % t)
+    return slot.astype(jnp.int32), intra.astype(jnp.int32)
+
+
+def _readout_raw(site_flat, slot, intra):
+    """site_flat (B, NT, t^3, C), slot/intra (B, M) -> (B, M, C);
+    sentinel slot NT reads zeros."""
+    def one(vals, s, i):
+        vpad = jnp.concatenate([vals, jnp.zeros_like(vals[:1])], axis=0)
+        return vpad[s, i]
+
+    return jax.vmap(one)(site_flat, slot, intra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _readout(site_flat, slot, intra):
+    return _readout_raw(site_flat, slot, intra)
+
+
+def _readout_fwd(site_flat, slot, intra):
+    return _readout_raw(site_flat, slot, intra), (slot, intra,
+                                                  site_flat.shape)
+
+
+def _readout_bwd(res, g):
+    import numpy as np
+
+    from pcseg_tpu.ops.pallas.onehot_contract import rowcol_scatter
+
+    slot, intra, shape = res
+    b, ntiles, t3, c = shape
+    # XLA transposes the readout gather into a per-point scatter-add
+    # that serializes on TPU (~1.1 ms at B8 x 8192); as a (slot, intra)
+    # one-hot MXU contraction it is regular matmul work. bf16 operand
+    # rounding of the cotangents, f32 accumulation — the same precision
+    # convention as the devoxelize backward (ops/voxel.py bwd_dtype).
+    dv = rowcol_scatter(slot, intra, g, ntiles, t3)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return dv.reshape(b, ntiles, t3, c), f0(slot), f0(intra)
+
+
+_readout.defvjp(_readout_fwd, _readout_bwd)
+
+
 def block_gather_point_logits(
     site_values: jax.Array,
     bs: BlockSparseVoxels,
@@ -233,27 +292,16 @@ def block_gather_point_logits(
 ) -> jax.Array:
     """Per-point readout from tile blocks (sparse devoxelize, nearest):
     each point reads its voxel's value; points in dropped/unoccupied
-    tiles get zeros."""
+    tiles get zeros. On TPU the backward runs as a one-hot MXU
+    contraction (``rowcol_scatter``) instead of XLA's serializing
+    per-point scatter-add; CPU keeps the autodiff transpose (the Pallas
+    interpreter can't evaluate vma-typed operands)."""
     t = bs.tile
-    nt = bs.grid_size // t
-    nt3 = nt * nt * nt
-    flat, _, _ = voxel_indices(points[..., :3], mask, bs.grid_size)
-    r = bs.grid_size
-
-    def one(vals, lookup, flat_e):
-        # flat voxel id -> (tile id, intra-tile id); out-of-grid spill
-        # (flat == R^3) maps to the lookup sentinel
-        i, j, k = flat_e // (r * r), (flat_e // r) % r, flat_e % r
-        tid = ((i // t) * nt + (j // t)) * nt + (k // t)
-        tid = jnp.where(flat_e >= r * r * r, nt3, tid)
-        slot = lookup[tid]                               # (M,), -1 if no tile
-        ok = slot >= 0
-        vt = vals.reshape(vals.shape[0], t * t * t, -1)
-        intra = ((i % t) * t + (j % t)) * t + (k % t)
-        out = vt[jnp.maximum(slot, 0), intra]
-        return jnp.where(ok[:, None], out, 0.0)
-
-    out = jax.vmap(one)(site_values, bs.lookup, flat)
+    slot, intra = _point_cells(bs, points, mask)
+    b, ntiles = site_values.shape[:2]
+    site_flat = site_values.reshape(b, ntiles, t * t * t, -1)
+    read = _readout if jax.default_backend() == "tpu" else _readout_raw
+    out = read(site_flat, slot, intra)
     return jnp.where(mask[..., None], out, 0.0)
 
 

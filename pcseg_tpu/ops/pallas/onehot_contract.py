@@ -260,6 +260,73 @@ def trilinear_scatter(u, go, r, *, chunk=512, interpret=None):
 
 
 # ---------------------------------------------------------------------------
+# generic (row, col) one-hot scatter-sum — the sparse readout backward
+# ---------------------------------------------------------------------------
+
+def _rowcol_scatter_kernel(row_ref, col_ref, vals_ref, out_ref,
+                           *, nrows, ncols, c):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    row = row_ref[0, 0][:, 0]                         # (Mc,) int32
+    col = col_ref[0, 0][:, 0]
+    mc = row.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, mc), 0)
+    a_t = (iota == row[None, :]).astype(jnp.bfloat16)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (mc, ncols * c), 1) // c
+    vt = _lane_tile(vals_ref[0, 0], ncols)            # (Mc, ncols*C) bf16
+    d1 = jnp.where(lane_col == col[:, None], vt, jnp.bfloat16(0))
+    out_ref[0] += jax.lax.dot_general(
+        a_t, d1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def rowcol_scatter(rows, cols, vals, nrows, ncols, *, chunk=512,
+                   interpret=None):
+    """out[r, col*C+k] = sum_p 1[rows_p==r, cols_p==col] vals[p, k] -> f32.
+
+    rows/cols: (B, M) int32 — a row id >= nrows (sentinel) contributes
+    nothing; vals: (B, M, C) (bf16-rounded operands, f32 MXU
+    accumulation). Returns (B, nrows, ncols*C) f32. This is the
+    two-index generalization of ``voxelize_contract``: the block-sparse
+    point-readout backward scatters per-point cotangents into
+    (tile slot, intra-voxel) cells — a per-row scatter-add that
+    serializes on TPU when XLA transposes the readout gather."""
+    b, m = rows.shape
+    c = vals.shape[-1]
+    nc, (rows, cols, vals) = _chunked(
+        b, m, chunk,
+        [rows[..., None].astype(jnp.int32),
+         cols[..., None].astype(jnp.int32),
+         vals.astype(jnp.bfloat16)],
+        [nrows, 0, 0],
+    )
+    vma = getattr(jax.typeof(vals), "vma", frozenset())
+    out_shape = jax.ShapeDtypeStruct((b, nrows, ncols * c), jnp.float32,
+                                     vma=vma)
+    return pl.pallas_call(
+        functools.partial(_rowcol_scatter_kernel, nrows=nrows, ncols=ncols,
+                          c=c),
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nrows, ncols * c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        interpret=_interp(interpret),
+        compiler_params=_compiler_params(),
+    )(rows, cols, vals)
+
+
+# ---------------------------------------------------------------------------
 # devoxelize forward: trilinear gather with the x-interp in the epilogue
 # ---------------------------------------------------------------------------
 

@@ -6,6 +6,7 @@ exercises the kernels here explicitly in interpret mode against dense
 numpy tap/one-hot formulations mirroring ops/voxel.py's XLA paths.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -137,4 +138,53 @@ def test_trilinear_roundtrip_matches_voxel_ops(rng):
     out = devoxelize_trilinear(grid, pts, mask, lo, scale, impl="matmul")
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_rowcol_scatter_matches_dense_sum(rng):
+    from pcseg_tpu.ops.pallas.onehot_contract import rowcol_scatter
+
+    b, m, nrows, ncols, c = 2, 256, 5, 16, 3
+    rows = rng.integers(0, nrows + 1, size=(b, m))        # incl. sentinel
+    cols = rng.integers(0, ncols, size=(b, m))
+    vals = rng.normal(size=(b, m, c)).astype(np.float32)
+    out = rowcol_scatter(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        nrows, ncols, interpret=True,
+    )
+    valsb = np.asarray(jnp.asarray(vals, jnp.bfloat16), np.float32)
+    ref = np.zeros((b, nrows, ncols, c), np.float32)
+    for bi in range(b):
+        for p in range(m):
+            if rows[bi, p] < nrows:
+                ref[bi, rows[bi, p], cols[bi, p]] += valsb[bi, p]
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, nrows, ncols, c), ref,
+        atol=1e-2, rtol=1e-2,
+    )
+
+
+def test_block_readout_custom_vjp_matches_autodiff(rng):
+    """The TPU readout backward (rowcol_scatter contraction) must equal
+    the XLA autodiff transpose of the gather, up to bf16 cotangent
+    rounding (kernel in interpret mode on CPU)."""
+    from pcseg_tpu.ops.block_sparse import _readout, _readout_raw
+
+    b, ntiles, t3, c, m = 2, 6, 27, 4, 128
+    site = jnp.asarray(rng.normal(size=(b, ntiles, t3, c)), jnp.float32)
+    slot = jnp.asarray(rng.integers(0, ntiles + 1, size=(b, m)), jnp.int32)
+    intra = jnp.asarray(rng.integers(0, t3, size=(b, m)), jnp.int32)
+    ct = jnp.asarray(rng.normal(size=(b, m, c)), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(_readout(site, slot, intra)),
+        np.asarray(_readout_raw(site, slot, intra)),
+        atol=1e-6,
+    )
+    g_ref = jax.grad(lambda s: jnp.sum(_readout_raw(s, slot, intra) * ct))(
+        site
+    )
+    g_pal = jax.grad(lambda s: jnp.sum(_readout(s, slot, intra) * ct))(site)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=1e-2, rtol=1e-2,
     )
