@@ -71,9 +71,13 @@ class SparseVoxelNet:
     # voxelizer implementation (ops/voxel.py voxelize): "auto" picks the
     # one-hot-matmul contraction below the measured R^3*(C+1) crossover
     voxelize_impl: str = "auto"
-    # fuse the LN+ReLU+mask chain into one Pallas kernel per direction
-    # (TPU only; CPU always uses the XLA form)
-    fused_ln: bool = True
+    # fuse the LN+ReLU+mask chain into one Pallas kernel per direction.
+    # True: fused on TPU, XLA form elsewhere. False: XLA form always.
+    # "interpret": force the fused branch under the Pallas interpreter
+    # on any backend — lets CPU CI exercise the model-level plumbing of
+    # the fused path (reshape alignment, eps/out_dtype forwarding), not
+    # just the kernel in isolation.
+    fused_ln: bool | str = True
     # duck-type compatibility knobs (unused)
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -335,9 +339,12 @@ class SparseVoxelNet:
         # mask select — ~8 ms of the 45 ms block-U-Net step (r4 xplane
         # profile). CPU (tests / virtual-mesh dryrun) keeps the XLA
         # form: the interpreter can't evaluate vma-typed operands.
+        from pcseg_tpu.core.portable import tpu_kernels_enabled
+
+        force_interp = self.fused_ln == "interpret"
         if (
             self.fused_ln
-            and jax.default_backend() == "tpu"
+            and (tpu_kernels_enabled() or force_interp)
             and y.shape[-1] % 8 == 0
         ):
             from pcseg_tpu.ops.pallas.fused_ln import ln_relu_mask
@@ -350,6 +357,7 @@ class SparseVoxelNet:
                 active.reshape(-1),
                 1e-5,
                 jnp.dtype(self.compute_dtype),
+                interpret=True if force_interp else None,
             )
             return out.reshape(y.shape)
         # single-pass moments (E[x^2] - E[x]^2): one read of y feeds both

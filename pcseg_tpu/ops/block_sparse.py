@@ -137,32 +137,51 @@ def _provider_slice(t: int, d: int) -> slice:
     return {-1: slice(t - 1, t), 0: slice(None), 1: slice(0, 1)}[d]
 
 
-def _gather_halo_slots(feats: jax.Array, slot: jax.Array, t: int):
-    """(B, NT, t+2, t+2, t+2, C) halo blocks via sliced neighbor gathers.
+def _gather_halo_slots(feats: jax.Array, slot: jax.Array, t: int,
+                       impl: str | None = None):
+    """(B, NT, t+2, t+2, t+2, C) halo blocks from the 27-neighbor table.
 
     feats: (B, NT, t, t, t, C) current layer features; slot: (B, NT, 27)
     neighbor slot table from ``_neighbor_slots(bs, +1)``. Capacity
     padding and out-of-grid neighbors read the all-zero sentinel row.
 
-    Each of the 26 neighbor deltas gathers only the sub-block the halo
+    Each of the 26 neighbor deltas reads only the sub-block the halo
     actually needs (face t^2, edge t, corner 1 voxel columns) from a
     pre-sliced table, and the center block is the tile itself (no
     gather) — assembling full 3^3 neighbor supertiles first was 13.8x
     the halo volume in HBM traffic (measured 17.7 ms vs 6.9 dense at
     R=64/C=64; this form moves ~halo-sized data only).
 
-    The backward is XLA's autodiff transpose (row scatter-adds). A
-    hand-written gather adjoint (26 reversed gathers through the
-    negated-delta slot table) was built and MEASURED in r4 — it is
-    mathematically exact but 20 ms/step SLOWER at the bench config: the
-    custom-vjp boundary defuses the halo assembly from its consumers
-    (the per-consumer layout fusions become explicit ~0.54 ms copies of
-    every (B, NT, 10^3, C) halo) and the 26 backward region gathers
-    don't beat the single fused scatter kernel XLA emits. Kept out;
-    the octant pack/unpack adjoints below DID win and stay.
+    impl: "onehot" (TPU default) contracts each delta's provider table
+    with a (NT, NT+1) one-hot selection matrix on the MXU; "gather"
+    (CPU default) row-gathers. None picks by backend. The one-hot form
+    exists because XLA lowers the gather form to 26 strided slice-gather
+    kernels measured at ~55 GB/s (1.49 ms each at B8/NT64/C64 — they
+    dominated the r4 45 ms step at ~23 ms), while the same selection as
+    a matmul runs at full MXU/HBM rate; selection rows have exactly one
+    unit entry, so values are EXACT in the feats dtype (bf16 products of
+    1.0 round-trip exactly, f32 accumulation). Its autodiff transpose is
+    the TRANSPOSED one-hot matmul — the backward scatter-add becomes MXU
+    work for free, where the r4 hand-written gather-adjoint custom VJP
+    lost 20 ms to defusing the assembly from its consumers (that
+    negative result held for the GATHER form; matmuls don't fuse into
+    consumers anyway, so the boundary costs nothing here).
     """
+    if impl is None:
+        from pcseg_tpu.core.portable import tpu_kernels_enabled
+
+        impl = "onehot" if tpu_kernels_enabled() else "gather"
+    nt = feats.shape[1]
+
     def one(f, s):
         fpad = jnp.concatenate([jnp.zeros_like(f[:1]), f], axis=0)
+        if impl == "onehot":
+            cols = jax.lax.broadcasted_iota(jnp.int32, (nt, nt + 1), 1)
+            onehots = [
+                jnp.where(cols == (s[:, d] + 1)[:, None], 1.0, 0.0)
+                .astype(f.dtype)
+                for d in range(27)
+            ]
         parts_z = []
         for iz, dz in enumerate((-1, 0, 1)):
             parts_y = []
@@ -176,7 +195,18 @@ def _gather_halo_slots(feats: jax.Array, slot: jax.Array, t: int):
                     src = fpad[:, _provider_slice(t, dz), :, :][
                         :, :, _provider_slice(t, dy)
                     ][:, :, :, _provider_slice(t, dx)]
-                    parts_x.append(src[s[:, d_idx] + 1])
+                    if impl == "onehot":
+                        g = jax.lax.dot_general(
+                            onehots[d_idx],
+                            src.reshape(nt + 1, -1),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        parts_x.append(
+                            g.astype(f.dtype).reshape((nt,) + src.shape[1:])
+                        )
+                    else:
+                        parts_x.append(src[s[:, d_idx] + 1])
                 parts_y.append(jnp.concatenate(parts_x, axis=3))
             parts_z.append(jnp.concatenate(parts_y, axis=2))
         return jnp.concatenate(parts_z, axis=1)
@@ -260,8 +290,12 @@ def _readout(site_flat, slot, intra):
 
 
 def _readout_fwd(site_flat, slot, intra):
-    return _readout_raw(site_flat, slot, intra), (slot, intra,
-                                                  site_flat.shape)
+    # dtype exemplar, not site_flat.dtype itself: residuals are traced
+    # pytrees and a raw np.dtype is not a valid JAX type
+    return _readout_raw(site_flat, slot, intra), (
+        slot, intra, site_flat.shape,
+        jnp.zeros((0,), site_flat.dtype),
+    )
 
 
 def _readout_bwd(res, g):
@@ -269,16 +303,19 @@ def _readout_bwd(res, g):
 
     from pcseg_tpu.ops.pallas.onehot_contract import rowcol_scatter
 
-    slot, intra, shape = res
+    slot, intra, shape, dtype_ex = res
     b, ntiles, t3, c = shape
     # XLA transposes the readout gather into a per-point scatter-add
     # that serializes on TPU (~1.1 ms at B8 x 8192); as a (slot, intra)
     # one-hot MXU contraction it is regular matmul work. bf16 operand
     # rounding of the cotangents, f32 accumulation — the same precision
     # convention as the devoxelize backward (ops/voxel.py bwd_dtype).
+    # The cotangent must carry site_flat's own dtype (f32 accumulation
+    # stays inside the kernel; cast only the aval-facing result).
     dv = rowcol_scatter(slot, intra, g, ntiles, t3)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
-    return dv.reshape(b, ntiles, t3, c), f0(slot), f0(intra)
+    return (dv.reshape(b, ntiles, t3, c).astype(dtype_ex.dtype),
+            f0(slot), f0(intra))
 
 
 _readout.defvjp(_readout_fwd, _readout_bwd)
@@ -300,7 +337,9 @@ def block_gather_point_logits(
     slot, intra = _point_cells(bs, points, mask)
     b, ntiles = site_values.shape[:2]
     site_flat = site_values.reshape(b, ntiles, t * t * t, -1)
-    read = _readout if jax.default_backend() == "tpu" else _readout_raw
+    from pcseg_tpu.core.portable import tpu_kernels_enabled
+
+    read = _readout if tpu_kernels_enabled() else _readout_raw
     out = read(site_flat, slot, intra)
     return jnp.where(mask[..., None], out, 0.0)
 

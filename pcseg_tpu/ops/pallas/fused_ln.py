@@ -51,20 +51,31 @@ def _fwd_kernel(x_ref, act_ref, s_ref, b_ref, y_ref, *, eps, out_dtype):
 
 
 def _bwd_kernel(x_ref, act_ref, s_ref, b_ref, g_ref,
-                dx_ref, ds_ref, db_ref, *, eps):
+                dx_ref, ds_ref, db_ref, *, eps, n, tile):
     @pl.when(pl.program_id(0) == 0)
     def _():
         ds_ref[:] = jnp.zeros_like(ds_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    xf = x_ref[:].astype(jnp.float32)
+    # Mask out the padding rows of a partial last block: when n % tile
+    # != 0 the trailing rows of x/g/act are UNSPECIFIED; without this
+    # the dscale/dbias column sums would accumulate garbage (and
+    # 0 * NaN would poison them even through the act mask). jnp.where
+    # on a bool predicate selects, so NaN padding cannot leak through.
+    row = pl.program_id(0) * tile + jax.lax.broadcasted_iota(
+        jnp.int32, (tile, 1), 0
+    )
+    valid = row < n
+    xf = jnp.where(valid, x_ref[:].astype(jnp.float32), 0.0)
     mean, rstd = _moments(xf, eps)
     x_hat = (xf - mean) * rstd
     z = x_hat * s_ref[0] + b_ref[0]
-    dz = (
+    dz = jnp.where(
+        valid,
         g_ref[:].astype(jnp.float32)
         * jnp.where(z > 0.0, 1.0, 0.0)
-        * act_ref[:]
+        * act_ref[:],
+        0.0,
     )
     ds_ref[:] += jnp.sum(dz * x_hat, axis=0, keepdims=True)
     db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
@@ -77,10 +88,25 @@ def _bwd_kernel(x_ref, act_ref, s_ref, b_ref, g_ref,
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
-def _pick_tile(n: int, tile: int) -> int:
+def _pick_tile(n: int, tile: int, c: int) -> int:
+    # prefer a tile that divides n (no partial last block); failing
+    # that, any power-of-two >= 8 is CORRECT (the bwd kernel row-masks
+    # partial blocks), so just bound the VMEM footprint by C
     while tile > 8 and n % tile:
         tile //= 2
+    if n % tile:
+        tile = max(8, min(DEFAULT_TILE, 2 ** 20 // max(c, 1)))
     return tile
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+
+def _interp(interpret):
+    return jax.default_backend() != "tpu" if interpret is None else interpret
 
 
 def _specs(tile, c):
@@ -95,20 +121,23 @@ def _specs(tile, c):
     ], vspec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def ln_relu_mask(x, scale, bias, active,
                  eps: float = 1e-5,
                  out_dtype=jnp.bfloat16,
-                 tile: int = DEFAULT_TILE):
+                 tile: int = DEFAULT_TILE,
+                 interpret: bool | None = None):
     """Fused LN+affine+ReLU+mask. x: (N, C); scale/bias: (C,);
-    active: (N,) bool. Returns (N, C) out_dtype. N must be divisible
-    by a power-of-two tile >= 8 (true for tile blocks: N = B*NT*t^3)."""
-    return _fwd(x, scale, bias, active, eps, out_dtype, tile)[0]
+    active: (N,) bool. Returns (N, C) out_dtype. Any N is supported
+    (a partial last block is row-masked in the backward kernel).
+    ``interpret=None`` auto-selects the Pallas interpreter off-TPU;
+    pass True to force it (CPU testing of callers' fused branches)."""
+    return _fwd(x, scale, bias, active, eps, out_dtype, tile, interpret)[0]
 
 
-def _fwd(x, scale, bias, active, eps, out_dtype, tile):
+def _fwd(x, scale, bias, active, eps, out_dtype, tile, interpret):
     n, c = x.shape
-    tile = _pick_tile(n, tile)
+    tile = _pick_tile(n, tile, c)
     actf = active.astype(jnp.float32).reshape(n, 1)
     vma = getattr(jax.typeof(x), "vma", frozenset())
     in_specs, vspec = _specs(tile, c)
@@ -118,20 +147,21 @@ def _fwd(x, scale, bias, active, eps, out_dtype, tile):
         in_specs=in_specs,
         out_specs=vspec((tile, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c), out_dtype, vma=vma),
-        interpret=jax.default_backend() != "tpu",
+        compiler_params=_compiler_params(),
+        interpret=_interp(interpret),
     )(x, actf, scale.reshape(1, c), bias.reshape(1, c))
     return y, (x, scale, bias, actf)
 
 
-def _bwd(eps, out_dtype, tile, res, g):
+def _bwd(eps, out_dtype, tile, interpret, res, g):
     x, scale, bias, actf = res
     n, c = x.shape
-    tile = _pick_tile(n, tile)
+    tile = _pick_tile(n, tile, c)
     vma = getattr(jax.typeof(x), "vma", frozenset())
     in_specs, vspec = _specs(tile, c)
     in_specs.append(vspec((tile, c), lambda i: (i, 0)))   # g
     dx, ds, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps),
+        functools.partial(_bwd_kernel, eps=eps, n=n, tile=tile),
         grid=(pl.cdiv(n, tile),),
         in_specs=in_specs,
         out_specs=[
@@ -144,7 +174,8 @@ def _bwd(eps, out_dtype, tile, res, g):
             jax.ShapeDtypeStruct((1, c), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((1, c), jnp.float32, vma=vma),
         ],
-        interpret=jax.default_backend() != "tpu",
+        compiler_params=_compiler_params(),
+        interpret=_interp(interpret),
     )(x, actf, scale.reshape(1, c), bias.reshape(1, c), g)
     return dx, ds.reshape(c), db.reshape(c), None
 

@@ -152,11 +152,15 @@ def _use_plane_kernels(dt, r) -> bool:
     TPU-only (cf. parallel/gp.py fused-core fallback): the Pallas HLO
     interpreter can't run under vma-typed shard_map, and the CPU-mesh
     dryrun/tests reach these through voxelize/devoxelize. R<=64 keeps
-    the (R^2, N) VMEM accumulator + in-kernel one-hot tiles comfortable."""
+    the (R^2, N) VMEM accumulator + in-kernel one-hot tiles comfortable.
+    core.portable.force_xla_paths() overrides to the XLA form (serving
+    export for multiple platforms must not bake the kernels in)."""
+    from pcseg_tpu.core.portable import tpu_kernels_enabled
+
     return (
         jnp.dtype(dt) == jnp.bfloat16
         and r <= 64
-        and jax.default_backend() == "tpu"
+        and tpu_kernels_enabled()
     )
 
 

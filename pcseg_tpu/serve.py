@@ -28,10 +28,14 @@ level.
 Note on platforms: an ``Exported`` replays only on the platform(s) it was
 lowered for (default: the exporting process's backend). Export on the
 serving platform, or pass ``platforms=("tpu", "cpu")`` to lower for both.
-Models whose forward takes Pallas kernels (voxel families with
-``conv_impl="fused"``) pick compiled-vs-interpret at trace time, so
-cross-platform export of those is refused rather than silently shipping
-an interpret-mode TPU program.
+Models whose forward takes Pallas kernels pick compiled-vs-interpret at
+TRACE time, so a multi-platform export lowers the PORTABLE XLA forward
+instead: fused-conv voxel models are cloned onto ``conv_impl="xla"`` and
+every backend-gated fast path (voxelize/devoxelize plane kernels, fused
+LN, one-hot halo) traces its XLA form under
+``core.portable.force_xla_paths()``. Pass ``portable="strict"`` to get
+the old refusal instead (e.g. to guarantee the single-platform fused
+artifact is the one being shipped).
 """
 
 from __future__ import annotations
@@ -54,37 +58,76 @@ def _spec_tree(tree):
     )
 
 
+def _portable_clone(predictor):
+    """A Predictor whose forward traces only portable XLA ops.
+
+    Fused-conv voxel models (``conv_impl`` in fused/auto) re-bind onto
+    ``conv_impl="xla"`` — same weights, same values (the fused core is
+    parity-tested against the XLA core), portable lowering. Other models
+    come back unchanged; their backend gates are handled by
+    ``force_xla_paths`` at trace time.
+    """
+    import dataclasses
+
+    from pcseg_tpu.infer import Predictor
+
+    model = getattr(predictor, "model", None)
+    if getattr(model, "conv_impl", None) not in ("fused", "auto"):
+        return predictor
+    return Predictor(
+        predictor.variables,
+        predictor.num_classes,
+        input_dim=predictor.input_dim,
+        buckets=predictor.buckets,
+        model=dataclasses.replace(model, conv_impl="xla"),
+        fold=False,
+        strict_capacity=predictor.strict_capacity,
+    )
+
+
 def export_predictor(
     predictor,
     out_dir: str,
     batch_sizes: Sequence[int] = (1, 8),
     buckets: Optional[Sequence[int]] = None,
     platforms: Optional[Sequence[str]] = None,
+    portable: str = "auto",
 ) -> dict:
     """Serialize ``predictor``'s forward per (batch, bucket) into
     ``out_dir``; returns the manifest dict.
 
     ``buckets`` defaults to the predictor's pad buckets. ``platforms``
     defaults to the current backend; pass e.g. ``("tpu", "cpu")`` for a
-    multi-platform artifact (pure-XLA forwards only — see module note).
+    multi-platform artifact — the lowering then uses the portable XLA
+    forward (fused-conv models cloned to ``conv_impl="xla"``, backend-
+    gated kernels forced off; see module note). ``portable="strict"``
+    refuses multi-platform export of Pallas-bearing models instead.
     """
+    import contextlib
+
     from jax import export as jx
 
     from pcseg_tpu.ckpt.checkpoint import save_checkpoint
+    from pcseg_tpu.core.portable import force_xla_paths
 
     buckets = tuple(sorted(buckets or predictor.buckets))
     batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
+    ctx = contextlib.nullcontext()
     if platforms is not None:
         platforms = tuple(platforms)
-        uses_pallas = getattr(
-            getattr(predictor, "model", None), "conv_impl", None
-        ) in ("fused", "auto")
-        if len(platforms) > 1 and uses_pallas:
-            raise ValueError(
-                "multi-platform export of a fused-Pallas forward would "
-                "bake the exporting backend's compiled/interpret choice "
-                "into every platform; export per platform instead"
-            )
+        if len(platforms) > 1:
+            uses_pallas = getattr(
+                getattr(predictor, "model", None), "conv_impl", None
+            ) in ("fused", "auto")
+            if portable == "strict" and uses_pallas:
+                raise ValueError(
+                    "multi-platform export of a fused-Pallas forward would "
+                    "bake the exporting backend's compiled/interpret choice "
+                    "into every platform; export per platform instead "
+                    "(or drop portable='strict' to lower the XLA forward)"
+                )
+            predictor = _portable_clone(predictor)
+            ctx = force_xla_paths()
 
     os.makedirs(out_dir, exist_ok=True)
     save_checkpoint(os.path.join(out_dir, "weights"), predictor.variables)
@@ -92,21 +135,22 @@ def export_predictor(
     var_specs = _spec_tree(predictor.variables)
     dim = predictor.input_dim
     exported_platforms = None
-    for b in batch_sizes:
-        for m in buckets:
-            exp = jx.export(
-                predictor._forward,
-                platforms=list(platforms) if platforms else None,
-            )(
-                var_specs,
-                jax.ShapeDtypeStruct((b, m, dim), np.float32),
-                jax.ShapeDtypeStruct((b, m), np.bool_),
-            )
-            exported_platforms = list(exp.platforms)
-            with open(
-                os.path.join(out_dir, f"fwd_b{b}_m{m}.stablehlo"), "wb"
-            ) as f:
-                f.write(exp.serialize())
+    with ctx:
+        for b in batch_sizes:
+            for m in buckets:
+                exp = jx.export(
+                    predictor._forward,
+                    platforms=list(platforms) if platforms else None,
+                )(
+                    var_specs,
+                    jax.ShapeDtypeStruct((b, m, dim), np.float32),
+                    jax.ShapeDtypeStruct((b, m), np.bool_),
+                )
+                exported_platforms = list(exp.platforms)
+                with open(
+                    os.path.join(out_dir, f"fwd_b{b}_m{m}.stablehlo"), "wb"
+                ) as f:
+                    f.write(exp.serialize())
 
     manifest = {
         "version": _MANIFEST_VERSION,

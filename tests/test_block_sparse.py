@@ -281,3 +281,89 @@ def test_octant_adjoints_match_autodiff_transpose():
         np.asarray(jax.grad(unpack_raw)(cf)),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_fused_ln_model_branch_interpret_matches_xla():
+    """fused_ln="interpret" runs the model's FUSED LN branch under the
+    Pallas interpreter on CPU — covering the model-level plumbing
+    (active.reshape alignment with y.reshape, eps/out_dtype forwarding,
+    output reshape) that the backend gate otherwise leaves untested off
+    TPU (r4 advisor finding). Values and grads must match fused_ln=False.
+    """
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    rng = np.random.default_rng(11)
+    pts, mask = _event_batch(rng)
+    labels = jnp.asarray(rng.integers(0, 4, size=pts.shape[:2]))
+    kw = dict(num_classes=4, grid_size=16, width=16, depth=2, levels=2,
+              impl="block", tile=4, max_tiles=64)
+    m_x = SparseVoxelNet(**kw, fused_ln=False)
+    m_f = SparseVoxelNet(**kw, fused_ln="interpret")
+    v = m_x.init(jax.random.key(7))
+    y_x = m_x.apply(v, pts, mask=mask)
+    y_f = m_f.apply(v, pts, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(y_x), np.asarray(y_f), atol=2e-2, rtol=2e-2
+    )
+
+    def loss(m):
+        def f(params):
+            logits, _ = m.apply({"params": params, "batch_stats": {}},
+                                pts, train=True, mask=mask)
+            oh = jax.nn.one_hot(labels, 4)
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+        return f
+
+    lx, gx = jax.value_and_grad(loss(m_x))(v["params"])
+    lf, gf = jax.value_and_grad(loss(m_f))(v["params"])
+    np.testing.assert_allclose(float(lx), float(lf), rtol=2e-2)
+    for ka, a in jax.tree_util.tree_leaves_with_path(gx):
+        b = jax.tree_util.tree_leaves_with_path(gf)
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(dict((str(k), v) for k, v in b)[str(ka)]),
+            atol=5e-2, rtol=5e-2,
+            err_msg=f"grad mismatch at {ka}",
+        )
+
+
+def test_halo_onehot_matches_gather():
+    """The one-hot MXU halo assembly must be bit-level-equivalent to the
+    row-gather form: selection rows carry exactly one unit entry, so the
+    matmul reproduces the gathered values exactly (f32 feats) and the
+    autodiff transpose likewise. Also checked in bf16 (products of 1.0
+    are exact in bf16 too)."""
+    from pcseg_tpu.ops.block_sparse import (
+        _gather_halo_slots,
+        _neighbor_slots,
+    )
+
+    rng = np.random.default_rng(5)
+    pts, mask = _event_batch(rng)
+    grid = voxelize(pts, mask, 16)
+    bs = block_sparse_from_grid(grid, max_tiles=48, tile=4)
+    slot = _neighbor_slots(bs, +1)
+    for dt in (jnp.float32, jnp.bfloat16):
+        f = jnp.asarray(
+            rng.normal(size=bs.feats.shape[:-1] + (8,))
+        ).astype(dt)
+        h_g = _gather_halo_slots(f, slot, 4, impl="gather")
+        h_o = _gather_halo_slots(f, slot, 4, impl="onehot")
+        np.testing.assert_array_equal(np.asarray(h_g), np.asarray(h_o))
+
+    # gradients: the transpose of the one-hot contraction must equal the
+    # gather's scatter-add transpose
+    f32 = jnp.asarray(rng.normal(size=bs.feats.shape[:-1] + (8,)),
+                      jnp.float32)
+    ct = jnp.asarray(
+        rng.normal(size=(f32.shape[0], f32.shape[1], 6, 6, 6, 8)),
+        jnp.float32,
+    )
+
+    def scal(impl):
+        return lambda x: jnp.sum(_gather_halo_slots(x, slot, 4, impl) * ct)
+
+    g_g = jax.grad(scal("gather"))(f32)
+    g_o = jax.grad(scal("onehot"))(f32)
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_o),
+                               atol=1e-5, rtol=1e-5)

@@ -86,6 +86,41 @@ def test_non_pow2_rows_pick_smaller_tile(rng):
     )
 
 
+def test_partial_last_block_vjp(rng):
+    # N = 27 is NOT a multiple of 8: the last grid block is partial and
+    # the bwd kernel must row-mask it or dscale/dbias accumulate over
+    # unspecified padding rows (r4 advisor finding). Exercise the full
+    # VJP at this shape against the XLA reference.
+    n = 27
+    x = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(C,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(C,)), jnp.float32) * 0.1
+    active = jnp.asarray(rng.uniform(size=(n,)) < 0.5)
+    ct = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+
+    def scal(op):
+        return lambda x_, s_, b_: jnp.sum(op(x_, s_, b_) * ct)
+
+    got = ln_relu_mask(x, scale, bias, active, EPS, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_ref(x, scale, bias, active)),
+        atol=1e-5, rtol=1e-5,
+    )
+    g_ref = jax.grad(
+        scal(lambda x_, s_, b_: _ref(x_, s_, b_, active)), argnums=(0, 1, 2)
+    )(x, scale, bias)
+    g_pal = jax.grad(
+        scal(lambda x_, s_, b_: ln_relu_mask(
+            x_, s_, b_, active, EPS, jnp.float32)),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    for name, a, b in zip(["dx", "dscale", "dbias"], g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4,
+            err_msg=f"grad mismatch for {name} at partial tile",
+        )
+
+
 def test_bf16_output_dtype(rng):
     x, scale, bias, active = _args(rng)
     got = ln_relu_mask(x, scale, bias, active, EPS, jnp.bfloat16)

@@ -119,7 +119,7 @@ def test_export_refuses_platform_mismatch(tmp_path):
         load_exported(art)
 
 
-def test_export_refuses_multiplatform_pallas(tmp_path):
+def test_export_refuses_multiplatform_pallas_strict(tmp_path):
     import jax
 
     from pcseg_tpu.models.voxel_unet import VoxelUNet3d
@@ -131,8 +131,70 @@ def test_export_refuses_multiplatform_pallas(tmp_path):
     pred = Predictor(variables, 4, buckets=(64,), model=model)
     with pytest.raises(ValueError, match="multi-platform"):
         export_predictor(
-            pred, str(tmp_path / "a"), platforms=("cpu", "tpu")
+            pred, str(tmp_path / "a"), platforms=("cpu", "tpu"),
+            portable="strict",
         )
+
+
+def test_export_multiplatform_voxel_fused_falls_back_to_xla(tmp_path):
+    """Multi-platform export of a fused-conv voxel model lowers the
+    portable XLA forward (conv_impl="xla" clone + force_xla_paths)
+    instead of refusing (r4 VERDICT weak #6). The artifact must replay
+    on this (CPU) backend and match the XLA-path predictor exactly."""
+    import jax
+
+    from pcseg_tpu.models.voxel_unet import VoxelUNet3d
+
+    model = VoxelUNet3d(
+        num_classes=4, grid_size=16, width=8, levels=2,
+        conv_impl="fused", compute_dtype="bfloat16",
+    )
+    variables = model.init(jax.random.key(1))
+    pred = Predictor(variables, 4, buckets=(64,), model=model)
+    art = str(tmp_path / "artifact")
+    manifest = export_predictor(
+        pred, art, batch_sizes=(1,), platforms=("cpu", "tpu")
+    )
+    assert sorted(manifest["platforms"]) == ["cpu", "tpu"]
+
+    import dataclasses
+
+    xla_pred = Predictor(
+        variables, 4, buckets=(64,),
+        model=dataclasses.replace(model, conv_impl="xla"),
+    )
+    served = load_exported(art)
+    pts = np.random.default_rng(0).normal(size=(50, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        served.logits(pts), xla_pred.logits(pts), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_export_multiplatform_sparse_block(tmp_path):
+    """Multi-platform export of the block-sparse family: the fused-LN /
+    readout / halo backend gates must trace their portable XLA forms
+    under force_xla_paths, and the artifact must match the live CPU
+    predictor (which takes the same XLA paths on this backend)."""
+    import jax
+
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+
+    model = SparseVoxelNet(
+        num_classes=4, grid_size=16, width=8, levels=2, impl="block",
+        tile=4, max_tiles=64, compute_dtype="bfloat16",
+    )
+    variables = model.init(jax.random.key(1))
+    pred = Predictor(variables, 4, buckets=(256,), model=model)
+    art = str(tmp_path / "artifact")
+    manifest = export_predictor(
+        pred, art, batch_sizes=(1,), platforms=("cpu", "tpu")
+    )
+    assert sorted(manifest["platforms"]) == ["cpu", "tpu"]
+    served = load_exported(art)
+    pts = np.random.default_rng(4).normal(size=(120, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        served.logits(pts), pred.logits(pts), atol=1e-5, rtol=1e-5
+    )
 
 
 def test_cli_export_roundtrip(tmp_path, capsys):
