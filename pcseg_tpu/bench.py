@@ -45,6 +45,21 @@ RECORDED_CPU_BASELINE = 1221.5
 # run that script to re-measure: one step takes ~18 s on this box, too
 # slow to fold into the driver's bench budget live).
 RECORDED_VOX_CPU_BASELINE = 3714.8
+# torch-CPU sparse-family baseline (the same computation the block-
+# sparse U-Net performs: voxelize -> masked-dense submanifold 3^3 conv
+# stacks w/ per-site LayerNorm at two resolutions -> nearest readout ->
+# CE -> Adam) at the driver sparse config B8 x 8192 track events, R64/
+# w64/d4/L2, f32, 1 CPU core: 602.6 points/sec (108.8 s/step;
+# 2026-08-20, experiments/bench_sparse_cpu_baseline.py — far too slow
+# to re-measure live in the driver's budget).
+RECORDED_SPARSE_CPU_BASELINE = 602.6
+# measurement dates of the recorded denominators, emitted in the bench
+# JSON so a stale baseline is visible in every BENCH_r*.json
+BASELINE_DATES = {
+    "cpu": "2026-08-16",
+    "voxel_cpu": "2026-08-19",
+    "sparse_cpu": "2026-08-20",
+}
 
 
 def make_batch(rng):
@@ -346,6 +361,10 @@ def main():
                 ),
                 "sparse_unit": "points/sec",
                 "sparse_ms_per_step": round(sp_ms, 2),
+                "sparse_vs_baseline": round(
+                    VOX_BATCH * VOX_POINTS / sp_ms * 1e3
+                    / RECORDED_SPARSE_CPU_BASELINE, 2
+                ),
                 "sparse_dropped_tiles": sp_dropped,
                 "sparse_config":
                     f"B{VOX_BATCH}x{VOX_POINTS} R{VOX_GRID} w64 d4 L2 "
@@ -354,6 +373,7 @@ def main():
         )
     except Exception as e:
         record["sparse_error"] = f"{type(e).__name__}: {e}"
+    record["baseline_dates"] = BASELINE_DATES
     print(json.dumps(record))
 
 

@@ -78,6 +78,14 @@ class SparseVoxelNet:
     # the fused path (reshape alignment, eps/out_dtype forwarding), not
     # just the kernel in isolation.
     fused_ln: bool | str = True
+    # 3^3 conv implementation for impl="block": "auto" runs the
+    # halo-free per-event Pallas kernel (ops/pallas/block_conv.py) on
+    # TPU whenever the fused-LN path is active (the kernel emits RAW
+    # conv outputs for it), falling back to the XLA halo formulation
+    # elsewhere; "xla" forces the halo formulation; "interpret" forces
+    # the kernel under the Pallas interpreter on any backend (CPU CI of
+    # the model-level kernel plumbing).
+    conv_impl: str = "auto"
     # duck-type compatibility knobs (unused)
     dropout: float = 0.0
     mask_norm_and_pool: bool = True
@@ -260,14 +268,91 @@ class SparseVoxelNet:
             dropped = dropped + sp.dropped
         return dropped
 
+    def _fused_ln_active(self, c: int) -> bool:
+        """Trace-time gate for the fused LN kernel path (TPU, or forced
+        interpreter for CPU CI; portable-export contexts force it off)."""
+        from pcseg_tpu.core.portable import tpu_kernels_enabled
+
+        return (
+            bool(self.fused_ln)
+            and (tpu_kernels_enabled() or self.fused_ln == "interpret")
+            and c % 8 == 0
+        )
+
+    def _bias_ln_relu_mask(self, y, pre_bias, ln, active):
+        """conv-bias + LN + ReLU + mask as ONE kernel on the RAW bf16
+        conv output (ops/pallas/fused_ln.py bias_ln_relu_mask) — the
+        separate f32 [upcast + bias + where(active)] chain cost ~2.6 ms
+        /step and doubled the LN kernels' input traffic (r5 profile)."""
+        from pcseg_tpu.ops.pallas.fused_ln import (
+            DEFAULT_TILE,
+            bias_ln_relu_mask,
+        )
+
+        c = y.shape[-1]
+        out = bias_ln_relu_mask(
+            y.reshape(-1, c),
+            pre_bias,
+            ln["scale"],
+            ln["bias"],
+            active.reshape(-1),
+            1e-5,
+            jnp.dtype(self.compute_dtype),
+            DEFAULT_TILE,
+            True if self.fused_ln == "interpret" else None,
+        )
+        return out.reshape(y.shape)
+
+    def _block_conv_kernel_active(self, cin: int, cout: int) -> bool:
+        """The halo-free Pallas conv (ops/pallas/block_conv.py) rides
+        the fused-LN path (it emits raw outputs for the bias+LN kernel)
+        and wants lane-aligned channels (the stem's 2-channel input
+        keeps the XLA halo form); portable-export contexts force the
+        XLA formulation."""
+        from pcseg_tpu.core.portable import tpu_kernels_enabled
+
+        if self.conv_impl == "xla" or not self._fused_ln_active(cout):
+            return False
+        if cin % 8 or cout % 8:
+            return False
+        if self.conv_impl == "interpret":
+            return True
+        return self.conv_impl == "auto" and tpu_kernels_enabled()
+
     def _block_stack(self, p, prefix, x, bs, dt):
         from pcseg_tpu.ops.block_sparse import block_subm_conv
 
+        slots = None
+        b, ntiles = x.shape[:2]
+        t = bs.tile
         for i in range(self.depth):
-            y = block_subm_conv(
-                p[f"{prefix}conv{i}"], bs, feats=x, compute_dtype=dt
-            )
-            y = self._ln_relu_mask(y, p[f"{prefix}ln{i}"], bs.active).astype(dt)
+            pp = p[f"{prefix}conv{i}"]
+            cin = x.shape[-1]
+            cout = pp["bias"].shape[0]
+            if self._block_conv_kernel_active(cin, cout):
+                from pcseg_tpu.ops.block_sparse import _neighbor_slots
+                from pcseg_tpu.ops.pallas.block_conv import block_conv
+
+                if slots is None:
+                    slots = _neighbor_slots(bs, +1)  # once per level
+                w2 = pp["kernel"].reshape(-1, cout).astype(dt)
+                y = block_conv(
+                    x.reshape(b, ntiles, t * t * t, cin), slots, w2,
+                    True if self.conv_impl == "interpret" else None,
+                ).reshape(x.shape[:-1] + (cout,))
+                y = self._bias_ln_relu_mask(
+                    y, pp["bias"], p[f"{prefix}ln{i}"], bs.active
+                )
+            elif self._fused_ln_active(cout):
+                y = block_subm_conv(pp, bs, feats=x, compute_dtype=dt,
+                                    raw=True)
+                y = self._bias_ln_relu_mask(
+                    y, pp["bias"], p[f"{prefix}ln{i}"], bs.active
+                )
+            else:
+                y = block_subm_conv(pp, bs, feats=x, compute_dtype=dt)
+                y = self._ln_relu_mask(y, p[f"{prefix}ln{i}"], bs.active)
+            y = y.astype(dt)
             x = y if (i == 0 and prefix == "") else (x + y)
         return x
 
@@ -294,27 +379,41 @@ class SparseVoxelNet:
             for lv in range(1, self.levels):
                 bsc, slots = block_pool(cur, self._tile_cap(lv))
                 dropped = dropped + bsc.dropped
+                fused = self._fused_ln_active(
+                    p[f"down{lv}"]["bias"].shape[0]
+                )
                 h = block_down2x(
                     p[f"down{lv}"], skips[-1], bsc, slots, compute_dtype=dt,
-                    bs_fine=cur,
+                    bs_fine=cur, raw=fused,
                 )
-                h = self._ln_relu_mask(
-                    h, p[f"down{lv}_ln"], bsc.active
-                ).astype(dt)
-                h = self._block_stack(p, f"l{lv}_", h, bsc, dt)
+                if fused:
+                    h = self._bias_ln_relu_mask(
+                        h, p[f"down{lv}"]["bias"], p[f"down{lv}_ln"],
+                        bsc.active,
+                    )
+                else:
+                    h = self._ln_relu_mask(h, p[f"down{lv}_ln"], bsc.active)
+                h = self._block_stack(p, f"l{lv}_", h.astype(dt), bsc, dt)
                 skips.append(h)
                 bss.append(bsc)
                 slot_tables.append(slots)
                 cur = bsc
             h = skips[-1]
             for lv in range(self.levels - 1, 0, -1):
+                fused = self._fused_ln_active(p[f"up{lv}"]["bias"].shape[0])
                 u = block_up2x(
                     p[f"up{lv}"], h, bss[lv], bss[lv - 1], compute_dtype=dt,
-                    child_slots=slot_tables[lv],
+                    child_slots=slot_tables[lv], raw=fused,
                 )
-                u = self._ln_relu_mask(
-                    u, p[f"up{lv}_ln"], bss[lv - 1].active
-                ).astype(dt)
+                if fused:
+                    u = self._bias_ln_relu_mask(
+                        u, p[f"up{lv}"]["bias"], p[f"up{lv}_ln"],
+                        bss[lv - 1].active,
+                    )
+                else:
+                    u = self._ln_relu_mask(u, p[f"up{lv}_ln"],
+                                           bss[lv - 1].active)
+                u = u.astype(dt)
                 h = skips[lv - 1] + u
             x = h
 

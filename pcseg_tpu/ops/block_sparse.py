@@ -224,6 +224,7 @@ def block_subm_conv(
     bs: BlockSparseVoxels,
     feats: jax.Array | None = None,
     compute_dtype=None,
+    raw: bool = False,
 ) -> jax.Array:
     """Submanifold 3^3 conv on occupied tiles: (B, NT, t,t,t, Cin) ->
     (B, NT, t,t,t, Cout), masked to the active voxel set.
@@ -231,6 +232,14 @@ def block_subm_conv(
     Same parameter pytree as ``subm_conv_init`` (kernel (27, Cin, Cout) +
     bias) so the three sparse impls share weights; values at active sites
     match ``subm_conv_dense`` (tested).
+
+    ``raw=True`` returns the bare conv output in the compute dtype —
+    no f32 upcast, no bias, no active-mask select. The fused-LN model
+    path folds all three into the LN kernel (ops/pallas/fused_ln.py
+    ``bias_ln_relu_mask``): the conv output is bf16 before its upcast
+    anyway, so values are unchanged while the (N, C) f32 intermediate
+    and its separate bias+select pass disappear (~2.6 ms/step of
+    add_select fusions in the r5 xplane profile).
     """
     if feats is None:
         feats = bs.feats
@@ -251,7 +260,10 @@ def block_subm_conv(
         window_strides=(1, 1, 1),
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ).astype(jnp.float32).reshape(b, ntiles, t, t, t, cout) + p["bias"]
+    ).reshape(b, ntiles, t, t, t, cout)
+    if raw:
+        return y
+    y = y.astype(jnp.float32) + p["bias"]
     return jnp.where(bs.active[..., None], y, 0.0)
 
 
@@ -544,6 +556,7 @@ def block_down2x(
     child_slots: jax.Array,
     compute_dtype=None,
     bs_fine: BlockSparseVoxels | None = None,
+    raw: bool = False,
 ) -> jax.Array:
     """Stride-2 k=2 conv fine tiles -> coarse tiles.
 
@@ -579,6 +592,9 @@ def block_down2x(
         asm = _octant_pack(y, child_slots, pslot, octant, th)
     else:
         asm = _octant_pack_raw(y, child_slots, th)
+    if raw:
+        # bias/mask fold into the fused-LN kernel (see block_subm_conv)
+        return asm
     out = asm.astype(jnp.float32) + p["bias"]
     return jnp.where(bs_coarse.active[..., None], out, 0.0)
 
@@ -590,6 +606,7 @@ def block_up2x(
     bs_fine: BlockSparseVoxels,
     compute_dtype=None,
     child_slots: jax.Array | None = None,
+    raw: bool = False,
 ) -> jax.Array:
     """Stride-2 k=2 TRANSPOSED conv coarse tiles -> fine tiles.
 
@@ -621,5 +638,10 @@ def block_up2x(
         preferred_element_type=jnp.float32,
     )
     y = y.reshape(sub.shape[0], sub.shape[1], t, t, t, cout)
+    if raw:
+        # bias/mask fold into the fused-LN kernel (see block_subm_conv);
+        # one extra bf16 rounding of the f32 einsum accumulator vs the
+        # non-raw path (the package-wide compute-dtype convention)
+        return y.astype(dt)
     y = y.astype(jnp.float32) + p["bias"]
     return jnp.where(bs_fine.active[..., None], y, 0.0)

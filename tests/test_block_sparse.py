@@ -190,6 +190,7 @@ def test_sparse_model_block_unet_matches_dense_unet():
     )
 
 
+@pytest.mark.slow
 def test_sparse_model_block_unet_trains():
     from pcseg_tpu.models.sparse_unet import SparseVoxelNet
 

@@ -218,6 +218,7 @@ def test_resume_restores_selection_state(tmp_path, small_events):
     assert latest_meta["patience_counter"] == 3
 
 
+@pytest.mark.slow
 def test_cli_train_resume(tmp_path, small_events):
     """--resume on the CLI train subcommand continues a run end-to-end."""
     import json

@@ -125,6 +125,7 @@ def test_fold_gn_matches_group_norm():
     )
 
 
+@pytest.mark.slow
 def test_fused_unet_core_matches_xla_core():
     """Full VoxelUNet3d forward: fused Pallas core vs XLA core."""
     from pcseg_tpu.models.voxel_unet import VoxelUNet3d
@@ -145,6 +146,7 @@ def test_fused_unet_core_matches_xla_core():
     )
 
 
+@pytest.mark.slow
 def test_fused_unet_core_trains():
     from pcseg_tpu.models.voxel_unet import VoxelUNet3d
 
@@ -169,6 +171,7 @@ def test_fused_unet_core_trains():
     assert sum(float(jnp.sum(jnp.abs(x))) > 0 for x in leaves) >= len(leaves) - 2
 
 
+@pytest.mark.slow
 def test_fused_conv_impl_guards():
     from pcseg_tpu.models.voxel_unet import VoxelUNet3d
 
@@ -191,6 +194,7 @@ def test_fused_conv_impl_guards():
     del v2
 
 
+@pytest.mark.slow
 def test_fused_core_gradients_match_xla_core():
     """Grad parity THROUGH the in-kernel stats path: d(core)/d(params)
     of the packed fused core must match the XLA core (same math modulo
@@ -289,6 +293,7 @@ def test_packed_down_up_head_match_xla():
     )
 
 
+@pytest.mark.slow
 def test_fused_down_up_match_packed_composition():
     """fused_down2x_p / fused_up2x_p == act_packed + down2x/up2x_packed
     (values, stats, and ALL gradients incl. the stats cotangent)."""
@@ -423,6 +428,7 @@ def test_fused_head_grid2_matches_composition():
         )
 
 
+@pytest.mark.slow
 def test_stats_skip_edges():
     """Grid-parallel stats contract: with ``stats_skip_edges`` the
     in-kernel (sum, sumsq) excludes the first/last d slab (dropped by the
@@ -484,6 +490,7 @@ def test_stats_skip_edges():
     )
 
 
+@pytest.mark.slow
 def test_need_dx_false_param_grads_unchanged():
     """Stem contract: ``need_dx=False`` skips the dgrad kernel but the
     w/bias gradients (through the output AND the in-kernel stats) match

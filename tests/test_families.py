@@ -10,7 +10,12 @@ from pcseg_tpu.infer import Predictor
 
 
 @pytest.mark.parametrize(
-    "family", ["pointnet_seg", "voxel_unet3d", "sparse_voxelnet"]
+    "family",
+    [
+        "pointnet_seg",
+        pytest.param("voxel_unet3d", marks=pytest.mark.slow),
+        pytest.param("sparse_voxelnet", marks=pytest.mark.slow),
+    ],
 )
 def test_family_end_to_end(tmp_path, small_events, family):
     cfg = Config()
@@ -75,6 +80,7 @@ def test_model_knobs_plumbed_through_config():
     assert m.levels == 3
 
 
+@pytest.mark.slow
 def test_sparse_levels_from_cli_config(tmp_path, small_events):
     """model.name=sparse_voxelnet model.levels=2 trains via the config
     path (VERDICT r1 item 4)."""

@@ -130,3 +130,39 @@ def test_bf16_output_dtype(rng):
         np.asarray(_ref(x, scale, bias, active)),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_bias_ln_relu_mask_matches_unfused(rng):
+    # bias_ln_relu_mask(x, pb, ...) == ln_relu_mask(x + pb, ...) in
+    # values and in all gradients (incl. the new dpre_bias output)
+    from pcseg_tpu.ops.pallas.fused_ln import bias_ln_relu_mask
+
+    n = 64
+    x = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+    pb = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=(C,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(C,)), jnp.float32) * 0.1
+    active = jnp.asarray(rng.uniform(size=(n,)) < 0.6)
+    ct = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+
+    got = bias_ln_relu_mask(x, pb, scale, bias, active, EPS, jnp.float32)
+    want = _ref(x + pb, scale, bias, active)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    g_ref = jax.grad(
+        lambda x_, pb_, s_, b_: jnp.sum(_ref(x_ + pb_, s_, b_, active) * ct),
+        argnums=(0, 1, 2, 3),
+    )(x, pb, scale, bias)
+    g_pal = jax.grad(
+        lambda x_, pb_, s_, b_: jnp.sum(
+            bias_ln_relu_mask(x_, pb_, s_, b_, active, EPS, jnp.float32) * ct
+        ),
+        argnums=(0, 1, 2, 3),
+    )(x, pb, scale, bias)
+    for name, a, b in zip(["dx", "dpre_bias", "dscale", "dbias"],
+                          g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4,
+            err_msg=f"grad mismatch for {name}",
+        )

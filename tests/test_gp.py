@@ -88,6 +88,7 @@ def test_gp_train_step_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_dp_x_gp_train_step_matches_single_device():
     """Composed topology: batch over 'data' x depth over 'model' (2x2).
     The identity-optimizer param delta must equal the unsharded global
@@ -131,6 +132,7 @@ def test_dp_x_gp_train_step_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_gp_remat_matches_no_remat():
     """model.remat must be honored inside the GP core (ADVICE r2): same
     forward values and gradients as remat=False."""
@@ -168,6 +170,7 @@ def test_gp_remat_matches_no_remat():
         )
 
 
+@pytest.mark.slow
 def test_gp_fused_forward_matches_unsharded():
     """The lane-packed Pallas core, depth-sharded (halo-concat around
     each fused conv, psum'd lane stats) vs the unsharded fused core."""

@@ -9,6 +9,7 @@ with uneven valid-point counts per shard.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pcseg_tpu.data.batching import pad_events
 from pcseg_tpu.models.pointnet import PointNetSeg
@@ -89,6 +90,7 @@ def test_eval_dp8_matches_single_device(mesh8, small_events):
     )
 
 
+@pytest.mark.slow
 def test_sync_batchnorm_matches_global_stats(mesh8, small_events):
     """sync-BN on 8 shards == per-replica BN on 1 device (same global batch)."""
     model = PointNetSeg(num_classes=4, dropout=0.0)
@@ -148,6 +150,7 @@ def test_fully_padded_rows_are_inert_to_loss(mesh8, small_events):
     assert float(m_a["total"]) == float(m_b["total"])
 
 
+@pytest.mark.slow
 def test_scan_train_steps_matches_loop(mesh8, small_events):
     """K steps in one scanned dispatch == K per-step dispatches."""
     from pcseg_tpu.train.steps import make_scan_train_steps

@@ -26,8 +26,9 @@ def _cfg(tmp_path, strategy, family="pointnet_seg"):
 
 @pytest.mark.parametrize(
     "strategy,family",
-    [("sp", "pointnet_seg"), ("tp", "pointnet_seg"),
-     ("gp", "voxel_unet3d")],
+    [pytest.param("sp", "pointnet_seg", marks=pytest.mark.slow),
+     pytest.param("tp", "pointnet_seg", marks=pytest.mark.slow),
+     pytest.param("gp", "voxel_unet3d", marks=pytest.mark.slow)],
 )
 def test_strategy_end_to_end(tmp_path, small_events, strategy, family):
     res = fit(small_events, config=_cfg(tmp_path, strategy, family),

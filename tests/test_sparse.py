@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pcseg_tpu.data.batching import pad_events
 from pcseg_tpu.models.sparse_unet import SparseVoxelNet
@@ -105,6 +106,8 @@ def test_gather_point_logits_roundtrip(rng):
     assert (got[m] >= 0).all()
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_sparse_model_forward_and_train(mesh8, small_events):
     from pcseg_tpu.train.optim import make_optimizer
     from pcseg_tpu.train.steps import create_train_state, make_train_step
@@ -148,6 +151,8 @@ def test_dense_impl_matches_gather_impl(rng, small_events):
     )
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_sparse_multilevel_unet(mesh8, small_events):
     """levels>1: pooled-occupancy encoder-decoder trains and masks hold."""
     model = SparseVoxelNet(
@@ -197,6 +202,8 @@ def test_gather_multilevel_matches_dense(rng, small_events):
     )
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_gather_multilevel_trains_and_counts_overflow(rng, small_events):
     """The gather U-Net trains; pooled-level capacity overflow is counted
     by overflow_counts and surfaced by the train step."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pcseg_tpu.data.batching import pad_events
 from pcseg_tpu.models.voxel_unet import VoxelUNet3d
@@ -106,6 +107,7 @@ def test_voxel_unet_forward(small_events):
     assert (np.asarray(logits)[~masks] == 0).all()
 
 
+@pytest.mark.slow
 def test_voxel_unet_trains(mesh8, small_events):
     import optax
 
