@@ -303,21 +303,27 @@ class SparseVoxelNet:
         )
         return out.reshape(y.shape)
 
-    def _block_conv_kernel_active(self, cin: int, cout: int) -> bool:
+    def _block_conv_kernel_active(self, cin: int, cout: int,
+                                  ntiles: int, t: int) -> bool:
         """The halo-free Pallas conv (ops/pallas/block_conv.py) rides
         the fused-LN path (it emits raw outputs for the bias+LN kernel)
         and wants lane-aligned channels (the stem's 2-channel input
-        keeps the XLA halo form); portable-export contexts force the
-        XLA formulation."""
+        keeps the XLA halo form) and VMEM-resident shapes (wide upper
+        levels fall back to the XLA halo form); portable-export
+        contexts force the XLA formulation."""
         from pcseg_tpu.core.portable import tpu_kernels_enabled
+        from pcseg_tpu.ops.pallas.block_conv import fits_vmem
 
         if self.conv_impl == "xla" or not self._fused_ln_active(cout):
             return False
-        if cin % 8 or cout % 8:
+        if cin % 16 or cout % 16:
+            # the kernel's packed lanes are t*C; 16-channel multiples
+            # keep them 128-lane aligned at t=8
             return False
         if self.conv_impl == "interpret":
             return True
-        return self.conv_impl == "auto" and tpu_kernels_enabled()
+        return (self.conv_impl == "auto" and tpu_kernels_enabled()
+                and fits_vmem(ntiles, t, cin, cout))
 
     def _block_stack(self, p, prefix, x, bs, dt):
         from pcseg_tpu.ops.block_sparse import block_subm_conv
@@ -329,7 +335,7 @@ class SparseVoxelNet:
             pp = p[f"{prefix}conv{i}"]
             cin = x.shape[-1]
             cout = pp["bias"].shape[0]
-            if self._block_conv_kernel_active(cin, cout):
+            if self._block_conv_kernel_active(cin, cout, ntiles, t):
                 from pcseg_tpu.ops.block_sparse import _neighbor_slots
                 from pcseg_tpu.ops.pallas.block_conv import block_conv
 
