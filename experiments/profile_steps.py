@@ -89,6 +89,41 @@ def profile_voxel(steps, grid128=False):
     return _trace(run, state, steps)
 
 
+def profile_sparse(steps):
+    """bench.bench_sparse_jax's exact program (cache-aligned)."""
+    from pcseg_tpu.models.sparse_unet import SparseVoxelNet
+    from pcseg_tpu.parallel.mesh import MeshSpec, make_mesh, shard_batch
+    from pcseg_tpu.train.optim import make_optimizer
+    from pcseg_tpu.train.steps import create_train_state, make_train_step
+
+    mesh = make_mesh(MeshSpec(data=len(jax.devices())))
+    model = SparseVoxelNet(
+        num_classes=bench.CLASSES, grid_size=bench.VOX_GRID, width=64,
+        depth=4, levels=2, impl="block", tile=8, max_tiles=64,
+        max_tiles_schedule=(64, 32), compute_dtype="bfloat16",
+    )
+    tx = make_optimizer()
+    state = create_train_state(model, jax.random.key(0), tx)
+    train_step = make_train_step(model, tx, mesh, donate=True)
+    rng = np.random.default_rng(0)
+    b = bench.VOX_BATCH
+    points = bench._track_batch(rng, b, bench.VOX_POINTS)
+    labels = rng.integers(0, bench.CLASSES,
+                          size=(b, bench.VOX_POINTS)).astype(np.int64)
+    masks = np.ones((b, bench.VOX_POINTS), bool)
+    batch = shard_batch(
+        mesh,
+        (jnp.asarray(points), jnp.asarray(labels), jnp.asarray(masks)),
+    )
+    args = (jnp.float32(1e-3), jax.random.key(7),
+            jnp.ones((bench.CLASSES,), jnp.float32))
+
+    def run(state):
+        return train_step(state, batch, args[0], args[1], args[2])
+
+    return _trace(run, state, steps)
+
+
 def _trace(run, state, steps):
     for _ in range(3):
         state, metrics = run(state)
@@ -112,6 +147,7 @@ def main():
         "pointnet": profile_pointnet,
         "voxel": profile_voxel,
         "voxel128": lambda s: profile_voxel(s, grid128=True),
+        "sparse": profile_sparse,
     }
     path = fns[which](steps)
     print_summary(path, top=60)

@@ -16,14 +16,20 @@ import time
 
 
 def _cpu_forced() -> bool:
-    """True when this process's JAX is pinned to the host platform."""
+    """True when this process's JAX is pinned to the host platform.
+
+    Only the HIGHEST-PRIORITY platform counts: the axon plugin
+    registers itself as "axon,cpu" (cpu as fallback), which must not
+    read as CPU-pinned — that misread silently disabled the persistent
+    compile cache on every real-TPU process (r5: 20-minute Mosaic
+    recompiles on each bench run)."""
     try:
         import jax
 
         plats = str(jax.config.jax_platforms or "")
     except Exception:
         return False
-    return "cpu" in plats.split(",")
+    return plats.split(",")[0].strip() == "cpu"
 
 
 def wait_for_backend(max_wait_s: float = 600.0, poll_s: float = 20.0) -> bool:
