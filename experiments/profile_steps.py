@@ -107,7 +107,9 @@ def profile_sparse(steps):
     train_step = make_train_step(model, tx, mesh, donate=True)
     rng = np.random.default_rng(0)
     b = bench.VOX_BATCH
-    points = bench._track_batch(rng, b, bench.VOX_POINTS)
+    from pcseg_tpu.bench import _track_batch
+
+    points = _track_batch(rng, b, bench.VOX_POINTS)
     labels = rng.integers(0, bench.CLASSES,
                           size=(b, bench.VOX_POINTS)).astype(np.int64)
     masks = np.ones((b, bench.VOX_POINTS), bool)

@@ -156,15 +156,26 @@ class SparseVoxelNet:
         if mask is None:
             mask = jnp.ones(points.shape[:2], bool)
 
-        grid = voxelize(points, mask, self.grid_size,
-                        impl=self.voxelize_impl, matmul_dtype=dt)
-        if self.impl == "dense":
+        if self.impl == "block":
+            # voxelize straight into the tile-blocked layout — the
+            # dense-grid route paid ~3.7 ms/step of 8-dim transpose
+            # relayouts (ops/block_sparse.block_sparse_voxelize)
+            from pcseg_tpu.ops.block_sparse import block_sparse_voxelize
+
+            bs, _lo, _scale = block_sparse_voxelize(
+                points, mask, self.grid_size, self._tile_cap(0),
+                self.tile, impl=self.voxelize_impl, matmul_dtype=dt,
+            )
+            logits, dropped = self._apply_block(p, bs, points, mask, dt)
+        elif self.impl == "dense":
+            grid = voxelize(points, mask, self.grid_size,
+                            impl=self.voxelize_impl, matmul_dtype=dt)
             logits = self._apply_dense(p, grid, points, mask, dt)
             # dense has no capacity caps — nothing can be dropped
             dropped = jnp.zeros(points.shape[0], jnp.int32)
-        elif self.impl == "block":
-            logits, dropped = self._apply_block(p, grid, points, mask, dt)
         else:
+            grid = voxelize(points, mask, self.grid_size,
+                            impl=self.voxelize_impl, matmul_dtype=dt)
             logits, dropped = self._apply_gather(p, grid, points, mask, dt)
         if train:
             aux = {} if self.impl == "dense" else {"__overflow__": dropped}
@@ -240,6 +251,23 @@ class SparseVoxelNet:
             mask = jnp.ones(points.shape[:2], bool)
         if self.impl == "dense":
             return jnp.zeros(points.shape[0], jnp.int32)
+        if self.impl == "block":
+            from pcseg_tpu.ops.block_sparse import (
+                block_pool,
+                block_sparse_voxelize,
+            )
+
+            # coords only -> occupancy channel alone rides the scan
+            bs, _lo, _scale = block_sparse_voxelize(
+                points[..., :3], mask, self.grid_size,
+                self._tile_cap(0), self.tile, impl=self.voxelize_impl,
+                matmul_dtype=jnp.dtype(self.compute_dtype),
+            )
+            dropped = bs.dropped
+            for lv in range(1, self.levels):
+                bs, _slots = block_pool(bs, self._tile_cap(lv))
+                dropped = dropped + bs.dropped
+            return dropped
         grid = voxelize(points, mask, self.grid_size,
                         impl=self.voxelize_impl,
                         matmul_dtype=jnp.dtype(self.compute_dtype))
@@ -249,18 +277,6 @@ class SparseVoxelNet:
             lo=grid.lo,
             scale=grid.scale,
         )
-        if self.impl == "block":
-            from pcseg_tpu.ops.block_sparse import (
-                block_pool,
-                block_sparse_from_grid,
-            )
-
-            bs = block_sparse_from_grid(g0, self._tile_cap(0), self.tile)
-            dropped = bs.dropped
-            for lv in range(1, self.levels):
-                bs, _slots = block_pool(bs, self._tile_cap(lv))
-                dropped = dropped + bs.dropped
-            return dropped
         sp = sparse_from_grid(g0, self.max_active)
         dropped = sp.dropped
         for _ in range(1, self.levels):
@@ -362,7 +378,7 @@ class SparseVoxelNet:
             x = y if (i == 0 and prefix == "") else (x + y)
         return x
 
-    def _apply_block(self, p, grid, points, mask, dt):
+    def _apply_block(self, p, bs, points, mask, dt):
         """Block-sparse path: dense conv on occupied tiles only (same
         params as the other impls; values at active sites identical).
         levels > 1 builds the pooled tile hierarchy (block_pool /
@@ -371,11 +387,9 @@ class SparseVoxelNet:
             block_down2x,
             block_gather_point_logits,
             block_pool,
-            block_sparse_from_grid,
             block_up2x,
         )
 
-        bs = block_sparse_from_grid(grid, self._tile_cap(0), self.tile)
         dropped = bs.dropped
         x = self._block_stack(p, "", bs.feats.astype(dt), bs, dt)
 

@@ -107,6 +107,101 @@ def block_sparse_from_grid(
     return BlockSparseVoxels(ijk, feats, active, tmask, lookup, dropped, r, t)
 
 
+def block_sparse_voxelize(
+    points: jax.Array,
+    mask: jax.Array,
+    grid_size: int,
+    max_tiles: int,
+    tile: int = 8,
+    impl: str = "auto",
+    matmul_dtype=jnp.bfloat16,
+):
+    """Voxelize straight into the tile-blocked layout (no dense grid).
+
+    The grid route (``ops/voxel.voxelize`` then
+    ``block_sparse_from_grid``) pays ~3.7 ms/step of 8-dim transpose
+    copies relayouting the dense R^3 grid into (NT^3, t^3) tiles (r5
+    step profile: fusion.1/copy.3901/divide_bitcast). The voxelizers
+    scatter/contract BY FLAT ID, so remapping the id to blocked order
+    (tid * t^3 + intra) makes them emit the tile-major layout directly
+    — the one-hot contraction kernel (``voxelize_contract``) and the
+    scatter are bijection-agnostic, and every downstream reshape is
+    contiguous. Masked points keep the R^3 sentinel (== NT^3 * t^3).
+
+    Returns (BlockSparseVoxels, lo, scale); features carry the point
+    feature columns 3: plus the constant-1 occupancy channel, exactly
+    like the grid route (scatter-mean semantics preserved).
+    """
+    from pcseg_tpu.ops.voxel import (
+        _voxelize_matmul_raw,
+        _voxelize_scatter,
+        resolve_voxelize_impl,
+    )
+
+    r, t = grid_size, tile
+    if r % t:
+        raise ValueError(f"grid {r} not divisible by tile {t}")
+    nt = r // t
+    nt3, t3 = nt * nt * nt, t * t * t
+
+    coords = points[..., :3].astype(jnp.float32)
+    feats = points[..., 3:].astype(jnp.float32)
+    occ1 = jnp.ones(feats.shape[:-1] + (1,), feats.dtype)
+    feats = jnp.concatenate([feats, occ1], axis=-1)
+    feats = jnp.where(mask[..., None], feats, 0.0)
+    c = feats.shape[-1]
+
+    flat, lo, scale = voxel_indices(coords, mask, r)
+    i, j, k = flat // (r * r), (flat // r) % r, flat % r
+    tid = ((i // t) * nt + (j // t)) * nt + (k // t)
+    intra = ((i % t) * t + (j % t)) * t + (k % t)
+    blocked = jnp.where(flat >= r * r * r, r * r * r, tid * t3 + intra)
+
+    impl = resolve_voxelize_impl(impl, r, c)
+    if impl == "matmul":
+        raw = _voxelize_matmul_raw(blocked, feats[..., :-1], r,
+                                   matmul_dtype)
+        sums = raw.reshape(raw.shape[0], r * r * r, c)
+    else:
+        sums, cnts = _voxelize_scatter(blocked, feats, r * r * r, c)
+        sums = jnp.concatenate([sums[..., :-1], cnts[..., None]],
+                               axis=-1)
+    cnts = sums[..., -1]
+    mean = sums[..., :-1] / jnp.maximum(cnts[..., None], 1.0)
+    mean = jnp.concatenate(
+        [mean, jnp.minimum(cnts[..., None], 1.0)], axis=-1
+    )                                        # occupancy channel back
+    b = points.shape[0]
+    bf = mean.reshape(b, nt3, t, t, t, c)
+    act = (cnts > 0).reshape(b, nt3, t, t, t)
+    tile_occ = act.reshape(b, nt3, -1).any(axis=-1)
+
+    def one(occ_e, feats_e, act_e):
+        occupied = jnp.sum(occ_e.astype(jnp.int32))
+        (ids,) = jnp.nonzero(occ_e, size=max_tiles, fill_value=nt3)
+        tmask = ids < nt3
+        dropped = jnp.maximum(occupied - max_tiles, 0)
+        safe = jnp.where(tmask, ids, 0)
+        f = jnp.where(tmask[:, None, None, None, None], feats_e[safe],
+                      0.0)
+        a = jnp.where(tmask[:, None, None, None], act_e[safe], False)
+        ti = safe // (nt * nt)
+        tj = (safe // nt) % nt
+        tk = safe % nt
+        ijk = jnp.stack([ti, tj, tk], axis=-1).astype(jnp.int32)
+        lookup = (
+            jnp.full((nt3 + 1,), -1, jnp.int32)
+            .at[jnp.where(tmask, ids, nt3)]
+            .set(jnp.arange(max_tiles, dtype=jnp.int32))
+        )
+        lookup = lookup.at[nt3].set(-1)
+        return ijk, f, a, tmask, lookup, dropped
+
+    ijk, f, a, tmask, lookup, dropped = jax.vmap(one)(tile_occ, bf, act)
+    return (BlockSparseVoxels(ijk, f, a, tmask, lookup, dropped, r, t),
+            lo, scale)
+
+
 def _tile_deltas() -> jnp.ndarray:
     return jnp.asarray(
         [[dz, dy, dx]

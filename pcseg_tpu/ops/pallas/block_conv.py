@@ -72,22 +72,24 @@ def _interp(flag) -> bool:
 
 def fits_vmem(nt: int, t: int, cin: int, cout: int,
               itemsize: int = 2) -> bool:
-    """Conservative VMEM-residency estimate for BOTH kernels (the model
-    gate falls back to the XLA halo path when a level's shapes don't
-    fit — at Cin=Cout=128 the wgrad kernel's 19 f32 M-matrices alone
-    are 76 MB)."""
+    """Conservative VMEM-residency estimate across the three kernels
+    (fwd, wgrad part 1/2) — the model gate falls back to the XLA halo
+    path when a level's shapes don't fit."""
     tc, tco = t * cin, t * cout
     bands = 19 * tc * tco * itemsize + cin * 8 * cout * itemsize
     tables = (6 * (nt + 1) * t + 12 * (nt + 1)) * tc * itemsize \
         + 8 * (nt + 1) * cin * itemsize
     x = nt * t ** 3 * cin * itemsize
     temps = 3 * nt * t * t * max(tc, tco) * 4
-    fwd = bands + tables + x + nt * t ** 3 * cout * 4 \
-        + 2 * nt * t * tco * 4 + temps
-    wg = 19 * tc * tco * 4 + tables + x + nt * t ** 3 * cout * itemsize \
-        + (6 * nt * t + 12 * nt) * tco * itemsize + temps
+    fwd = bands + tables + x + nt * t ** 3 * cout * (4 + itemsize) \
+        + temps
+    wg1 = 9 * tc * tco * 4 + tables + x \
+        + nt * t ** 3 * cout * itemsize \
+        + 4 * nt * t * tco * itemsize + temps
+    wg2 = 10 * tc * tco * 4 + tables \
+        + (2 * nt * t + 8 * nt) * tco * itemsize + temps
     budget = 95 * 1024 * 1024
-    return max(fwd, wg) <= budget
+    return max(fwd, wg1, wg2) <= budget
 
 
 def _compiler_params():
@@ -278,25 +280,22 @@ def _mm(a, b):
 
 def _fwd_kernel(x_ref, slot_ref, wx_ref, wy_ref, wz_ref, wc_ref,
                 tblf_ref, tble_ref, tblc_ref,
-                y_ref, xf_ref, ze_ref, ye_ref,
+                y_ref, acc_ref,
                 *, nt, t, cin, cout):
     t2 = t * t
     tc, tco = t * cin, t * cout
     xf = x_ref[0].reshape(nt * t2, tc)
     slots = slot_ref[0]
     dt = xf.dtype
-    # the f32 (1, NT, t, t, t*Cout) output block doubles as the
-    # accumulator — a separate scratch + full-size interior temp blew
-    # the 110M VMEM stack at Cin=128
 
     # ---- interior: 9 row-shifted masked matmuls vs x-banded weights
-    y_ref[0] = _mm(xf, wx_ref[_k9(0, 0)]).reshape(nt, t, t, tco)
+    acc_ref[...] = _mm(xf, wx_ref[_k9(0, 0)]).reshape(nt, t, t, tco)
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             if dz == 0 and dy == 0:
                 continue
             op = _zy_masked(_shift_rows(xf, dz * t + dy), dz, dy, nt, t)
-            y_ref[0] += _mm(op, wx_ref[_k9(dz, dy)]).reshape(
+            acc_ref[...] += _mm(op, wx_ref[_k9(dz, dy)]).reshape(
                 nt, t, t, tco)
 
     # ---- faces: one-hot plane gather + 3 perpendicular shifts x bands
@@ -315,11 +314,20 @@ def _fwd_kernel(x_ref, slot_ref, wx_ref, wy_ref, wz_ref, wc_ref,
                 band = wy_ref[_k6(tau, s)]
             contrib = contrib + _mm(op, band)
         if a == 0:
-            y_ref[0, :, _cons(s, t), :, :] += contrib.reshape(nt, t, tco)
+            acc_ref[:, _cons(s, t), :, :] += contrib.reshape(nt, t, tco)
         elif a == 1:
-            y_ref[0, :, :, _cons(s, t), :] += contrib.reshape(nt, t, tco)
+            acc_ref[:, :, _cons(s, t), :] += contrib.reshape(nt, t, tco)
         else:
-            xf_ref[0, fi - 4] = contrib                 # rows (n,z), lanes (y,C')
+            # rows (n, z), lanes (y, C'): the consumer x-plane crosses
+            # the packed lanes, so redistribute by per-y lane slices
+            # (the first r5 shape emitted these as separate outputs —
+            # the XLA-side assembly cost a full-grid layout copy +
+            # convert per conv, ~1 ms/application in the step profile)
+            xc = _cons(s, t)
+            c3 = contrib.reshape(nt, t, tco)
+            for y in range(t):
+                acc_ref[:, :, y, xc * cout:(xc + 1) * cout] += \
+                    c3[:, :, y * cout:(y + 1) * cout]
 
     # ---- edges: small one-hot line gather x banded weights
     for ei, e in enumerate(EDGES):
@@ -329,13 +337,19 @@ def _fwd_kernel(x_ref, slot_ref, wx_ref, wy_ref, wz_ref, wc_ref,
         ge = _mm(oh, tble_ref[0, ei]).astype(dt)        # (NT, t*Cin)
         if ax == "x":
             ce = _mm(ge, wx_ref[_k9(aa, bb)])
-            y_ref[0, :, _cons(aa, t), _cons(bb, t), :] += ce
+            acc_ref[:, _cons(aa, t), _cons(bb, t), :] += ce
         elif ax == "y":
-            ce = _mm(ge, wy_ref[_k6(aa, bb)])
-            ye_ref[0, ei - 4] = ce                      # lanes (y, C')
+            ce = _mm(ge, wy_ref[_k6(aa, bb)])           # lanes (y, C')
+            zc, xc = _cons(aa, t), _cons(bb, t)
+            for y in range(t):
+                acc_ref[:, zc, y, xc * cout:(xc + 1) * cout] += \
+                    ce[:, y * cout:(y + 1) * cout]
         else:
-            ce = _mm(ge, wz_ref[_kz(aa, bb)])
-            ze_ref[0, ei - 8] = ce                      # lanes (z, C')
+            ce = _mm(ge, wz_ref[_kz(aa, bb)])           # lanes (z, C')
+            yc, xc = _cons(aa, t), _cons(bb, t)
+            for z in range(t):
+                acc_ref[:, z, yc, xc * cout:(xc + 1) * cout] += \
+                    ce[:, z * cout:(z + 1) * cout]
 
     # ---- corners: stacked single-voxel taps
     for k, d in enumerate(CORNERS):
@@ -343,8 +357,10 @@ def _fwd_kernel(x_ref, slot_ref, wx_ref, wy_ref, wz_ref, wc_ref,
         gc = _mm(oh, tblc_ref[0, k]).astype(dt)         # (NT, Cin)
         cc = _mm(gc, wc_ref[:, k * cout:(k + 1) * cout])
         dz, dy, dx = d
-        y_ref[0, :, _cons(dz, t), _cons(dy, t),
-              _cons(dx, t) * cout:(_cons(dx, t) + 1) * cout] += cc
+        acc_ref[:, _cons(dz, t), _cons(dy, t),
+                _cons(dx, t) * cout:(_cons(dx, t) + 1) * cout] += cc
+
+    y_ref[0] = acc_ref[...].reshape(nt, t2, tco).astype(y_ref.dtype)
 
 
 def _conv_call(feats, slots, w2, cout, interpret):
@@ -363,7 +379,7 @@ def _conv_call(feats, slots, w2, cout, interpret):
     ev = lambda i: (i, 0, 0)          # noqa: E731
     ev3 = lambda i: (i, 0, 0, 0)      # noqa: E731
     shared = lambda i: (0, 0, 0)      # noqa: E731
-    y, xfc, zec, yec = pl.pallas_call(
+    y = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
@@ -377,49 +393,38 @@ def _conv_call(feats, slots, w2, cout, interpret):
             pl.BlockSpec((1, 12, nt + 1, tc), ev3),
             pl.BlockSpec((1, 8, nt + 1, cin), ev3),
         ],
-        out_specs=[
-            pl.BlockSpec((1, nt, t, t, tco), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 2, nt * t, tco), ev3),
-            pl.BlockSpec((1, 4, nt, tco), ev3),
-            pl.BlockSpec((1, 4, nt, tco), ev3),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, nt, t, t, tco), jnp.float32,
-                                 vma=vma),
-            jax.ShapeDtypeStruct((b, 2, nt * t, tco), jnp.float32,
-                                 vma=vma),
-            jax.ShapeDtypeStruct((b, 4, nt, tco), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((b, 4, nt, tco), jnp.float32, vma=vma),
-        ],
+        out_specs=pl.BlockSpec((1, nt, t2, tco), ev3),
+        out_shape=jax.ShapeDtypeStruct((b, nt, t2, tco), feats.dtype,
+                                       vma=vma),
+        scratch_shapes=[pltpu.VMEM((nt, t, t, tco), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interp(interpret),
     )(x2, slots, wx9.astype(feats.dtype), wy6.astype(feats.dtype),
       wz4.astype(feats.dtype), wcs.astype(feats.dtype), tblf, tble, tblc)
-
-    # assemble the outside consumers, round once
-    y5 = y.reshape(b, nt, t, t, t, cout)
-    for fi, (a, s) in enumerate(FACES[4:]):
-        piece = xfc[:, fi].reshape(b, nt, t, t, cout)   # (.., z, y, C')
-        y5 = y5.at[:, :, :, :, _cons(s, t), :].add(piece)
-    for j, e in enumerate(e for e in EDGES if e[0] == "y"):
-        _, dz, dx = e
-        piece = yec[:, j].reshape(b, nt, t, cout)       # (.., y, C')
-        y5 = y5.at[:, :, _cons(dz, t), :, _cons(dx, t), :].add(piece)
-    for j, e in enumerate(e for e in EDGES if e[0] == "z"):
-        _, dy, dx = e
-        piece = zec[:, j].reshape(b, nt, t, cout)       # (.., z, C')
-        y5 = y5.at[:, :, :, _cons(dy, t), _cons(dx, t), :].add(piece)
-    return y5.reshape(b, nt, t3, cout).astype(feats.dtype)
+    return y.reshape(b, nt, t3, cout)
 
 
 # ---------------------------------------------------------------------------
 # wgrad: banded M-matrices, extracted into dW taps outside
 # ---------------------------------------------------------------------------
 
-def _wgrad_kernel(x_ref, slot_ref, g_ref, tblf_ref, tble_ref, tblc_ref,
-                  gyf_ref, gye_ref, gyc_ref,
-                  m9_ref, my_ref, mz_ref, dwc_ref,
-                  *, nt, t, cin, cout):
+def _rows_t(a, b2):
+    return jax.lax.dot_general(
+        a, b2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _wgrad9_kernel(x_ref, slot_ref, g_ref, tblf_ref, tble_ref,
+                   gyf_ref, gye_ref, m9_ref,
+                   *, nt, t, cin, cout):
+    """x-banded M buckets: interior + z/y-face + x-free-edge pairs.
+
+    The M outputs (constant index map) stay VMEM-resident across the
+    event grid and accumulate directly (the onehot_contract.py
+    reduction pattern); wgrad is split in two kernels so the 19 f32
+    M-matrices never co-reside — one kernel blew the VMEM stack at
+    Cin=128."""
     t2 = t * t
     tc, tco = t * cin, t * cout
     xf = x_ref[0].reshape(nt * t2, tc)
@@ -427,62 +432,72 @@ def _wgrad_kernel(x_ref, slot_ref, g_ref, tblf_ref, tble_ref, tblc_ref,
     slots = slot_ref[0]
     dt = xf.dtype
 
-    # the out blocks (constant index map) stay VMEM-resident across the
-    # event grid and accumulate directly (separate scratch copies blew
-    # the VMEM stack at Cin=128 — onehot_contract.py reduction pattern)
     @pl.when(pl.program_id(0) == 0)
     def _():
         m9_ref[:] = jnp.zeros_like(m9_ref)
-        my_ref[:] = jnp.zeros_like(my_ref)
-        mz_ref[:] = jnp.zeros_like(mz_ref)
-        dwc_ref[:] = jnp.zeros_like(dwc_ref)
 
-    def rows_t(a, b2):
-        return jax.lax.dot_general(
-            a, b2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    # interior pairs
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             op = _zy_masked(_shift_rows(xf, dz * t + dy), dz, dy, nt, t)
-            m9_ref[_k9(dz, dy)] += rows_t(op, gy)
+            m9_ref[_k9(dz, dy)] += _rows_t(op, gy)
 
-    # face pairs (same gathers as forward, contracted vs consumer rows)
-    for fi, (a, s) in enumerate(FACES):
+    for fi, (a, s) in enumerate(FACES[:4]):
         oh = _face_onehot(slots, _di(*[s if i == a else 0
                                        for i in range(3)]), nt, t, dt)
         g2 = _mm(oh, tblf_ref[0, fi]).astype(dt)
         gyp = gyf_ref[0, fi]                            # (NT*t, t*Cout)
         for tau in (-1, 0, 1):
             op = _rho_masked(_shift_rows(g2, tau), tau, nt, t)
-            m = rows_t(op, gyp)
+            m = _rows_t(op, gyp)
             if a == 0:
                 m9_ref[_k9(s, tau)] += m
-            elif a == 1:
-                m9_ref[_k9(tau, s)] += m
             else:
-                my_ref[_k6(tau, s)] += m
+                m9_ref[_k9(tau, s)] += m
 
-    # edge pairs
-    for ei, e in enumerate(EDGES):
+    for ei, e in enumerate(EDGES[:4]):                  # x-free edges
+        _, aa, bb = e
+        oh = _small_onehot(slots, _di(*_edge_d(e)), nt, dt)
+        ge = _mm(oh, tble_ref[0, ei]).astype(dt)
+        m9_ref[_k9(aa, bb)] += _rows_t(ge, gye_ref[0, ei])
+
+
+def _wgradb_kernel(slot_ref, tblf_ref, tble_ref, tblc_ref,
+                   gyf_ref, gye_ref, gyc_ref,
+                   my_ref, mz_ref, dwc_ref,
+                   *, nt, t, cin, cout):
+    """y/z-banded M buckets + corner taps: x-face, y/z-free-edge and
+    corner pairs (none of these need the full x/gy blocks)."""
+    slots = slot_ref[0]
+    dt = tblf_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        my_ref[:] = jnp.zeros_like(my_ref)
+        mz_ref[:] = jnp.zeros_like(mz_ref)
+        dwc_ref[:] = jnp.zeros_like(dwc_ref)
+
+    for fi, (a, s) in enumerate(FACES[4:]):             # x-faces
+        oh = _face_onehot(slots, _di(0, 0, s), nt, t, dt)
+        g2 = _mm(oh, tblf_ref[0, fi]).astype(dt)
+        gyp = gyf_ref[0, fi]                            # lanes (y, C')
+        for tau in (-1, 0, 1):
+            op = _rho_masked(_shift_rows(g2, tau), tau, nt, t)
+            my_ref[_k6(tau, s)] += _rows_t(op, gyp)
+
+    for ei, e in enumerate(EDGES[4:]):                  # y/z-free edges
         ax, aa, bb = e
         oh = _small_onehot(slots, _di(*_edge_d(e)), nt, dt)
         ge = _mm(oh, tble_ref[0, ei]).astype(dt)
-        m = rows_t(ge, gye_ref[0, ei])
-        if ax == "x":
-            m9_ref[_k9(aa, bb)] += m
-        elif ax == "y":
+        m = _rows_t(ge, gye_ref[0, ei])
+        if ax == "y":
             my_ref[_k6(aa, bb)] += m
         else:
             mz_ref[_kz(aa, bb)] += m
 
-    # corner pairs
     for k, d in enumerate(CORNERS):
         oh = _small_onehot(slots, _di(*d), nt, dt)
         gc = _mm(oh, tblc_ref[0, k]).astype(dt)
-        dwc_ref[:, k * cout:(k + 1) * cout] += rows_t(gc, gyc_ref[0, k])
+        dwc_ref[:, k * cout:(k + 1) * cout] += _rows_t(gc, gyc_ref[0, k])
 
 
 def _gy_tables(g, t: int):
@@ -535,39 +550,53 @@ def _wgrad_call(feats, slots, g, interpret):
     x2 = feats.reshape(b, nt, t2, tc)
     g2 = g.reshape(b, nt, t2, tco)
 
-    kern = functools.partial(_wgrad_kernel, nt=nt, t=t, cin=cin,
-                             cout=cout)
     ev = lambda i: (i, 0, 0)          # noqa: E731
     ev3 = lambda i: (i, 0, 0, 0)      # noqa: E731
-    m9, my6, mz4, dwc = pl.pallas_call(
-        kern,
+    m9 = pl.pallas_call(
+        functools.partial(_wgrad9_kernel, nt=nt, t=t, cin=cin,
+                          cout=cout),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, nt, t2, tc), ev3),
             pl.BlockSpec((1, nt, 27), ev),
             pl.BlockSpec((1, nt, t2, tco), ev3),
-            pl.BlockSpec((1, 6, (nt + 1) * t, tc), ev3),
-            pl.BlockSpec((1, 12, nt + 1, tc), ev3),
+            pl.BlockSpec((1, 4, (nt + 1) * t, tc), ev3),
+            pl.BlockSpec((1, 4, nt + 1, tc), ev3),
+            pl.BlockSpec((1, 4, nt * t, tco), ev3),
+            pl.BlockSpec((1, 4, nt, tco), ev3),
+        ],
+        out_specs=pl.BlockSpec((9, tc, tco), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((9, tc, tco), jnp.float32,
+                                       vma=vma),
+        compiler_params=_compiler_params(),
+        interpret=_interp(interpret),
+    )(x2, slots, g2, tblf[:, :4], tble[:, :4], gyf[:, :4], gye[:, :4])
+    my6, mz4, dwc = pl.pallas_call(
+        functools.partial(_wgradb_kernel, nt=nt, t=t, cin=cin,
+                          cout=cout),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, nt, 27), ev),
+            pl.BlockSpec((1, 2, (nt + 1) * t, tc), ev3),
+            pl.BlockSpec((1, 8, nt + 1, tc), ev3),
             pl.BlockSpec((1, 8, nt + 1, cin), ev3),
-            pl.BlockSpec((1, 6, nt * t, tco), ev3),
-            pl.BlockSpec((1, 12, nt, tco), ev3),
+            pl.BlockSpec((1, 2, nt * t, tco), ev3),
+            pl.BlockSpec((1, 8, nt, tco), ev3),
             pl.BlockSpec((1, 8, nt, cout), ev3),
         ],
         out_specs=[
-            pl.BlockSpec((9, tc, tco), lambda i: (0, 0, 0)),
             pl.BlockSpec((6, tc, tco), lambda i: (0, 0, 0)),
             pl.BlockSpec((4, tc, tco), lambda i: (0, 0, 0)),
             pl.BlockSpec((cin, 8 * cout), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((9, tc, tco), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((6, tc, tco), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((4, tc, tco), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((cin, 8 * cout), jnp.float32, vma=vma),
         ],
         compiler_params=_compiler_params(),
         interpret=_interp(interpret),
-    )(x2, slots, g2, tblf, tble, tblc, gyf, gye, gyc)
+    )(slots, tblf[:, 4:], tble[:, 4:], tblc, gyf[:, 4:], gye[:, 4:], gyc)
 
     dw = jnp.zeros((27, cin, cout), jnp.float32)
     for dz in (-1, 0, 1):

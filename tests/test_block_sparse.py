@@ -368,3 +368,40 @@ def test_halo_onehot_matches_gather():
     g_o = jax.grad(scal("onehot"))(f32)
     np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_o),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_block_sparse_voxelize_matches_grid_route():
+    """Direct tile-blocked voxelize == voxelize + block_sparse_from_grid
+    (field by field, both impls)."""
+    import jax.numpy as jnp
+
+    from pcseg_tpu.ops.block_sparse import (
+        block_sparse_from_grid,
+        block_sparse_voxelize,
+    )
+    from pcseg_tpu.ops.voxel import voxelize
+
+    rng = np.random.default_rng(5)
+    pts, mask = _event_batch(rng)
+    for impl in ("scatter", "matmul"):
+        grid = voxelize(pts, mask, 16, impl=impl,
+                        matmul_dtype=jnp.float32)
+        want = block_sparse_from_grid(grid, max_tiles=48, tile=4)
+        got, lo, scale = block_sparse_voxelize(
+            pts, mask, 16, 48, 4, impl=impl, matmul_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got.tile_ijk),
+                                      np.asarray(want.tile_ijk))
+        np.testing.assert_allclose(np.asarray(got.feats),
+                                   np.asarray(want.feats),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.active),
+                                      np.asarray(want.active))
+        np.testing.assert_array_equal(np.asarray(got.tile_mask),
+                                      np.asarray(want.tile_mask))
+        np.testing.assert_array_equal(np.asarray(got.lookup),
+                                      np.asarray(want.lookup))
+        np.testing.assert_array_equal(np.asarray(got.dropped),
+                                      np.asarray(want.dropped))
+        np.testing.assert_allclose(np.asarray(lo), np.asarray(grid.lo))
+        np.testing.assert_allclose(np.asarray(scale),
+                                   np.asarray(grid.scale))
